@@ -1,0 +1,175 @@
+"""Unit tests for the host-twin building blocks (no JAX, no reference needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vision_assist_tpu.golden.lattice import (
+    artificial_column_mask,
+    artificial_start_row,
+    inject_artificial_cells,
+    penalty_field,
+    run_extents,
+)
+from vision_assist_tpu.golden.peaks import find_peaks, rasterize_cells
+from vision_assist_tpu.golden.astar import AStarEngine, closest_cell_to_point
+from vision_assist_tpu.planning.dedup import path_similarity
+from vision_assist_tpu.semantics.sections import build_path
+from vision_assist_tpu.types import Cell, Coordinate
+
+
+def make_cells(rcs, grid=20):
+    return [
+        Cell(coords=Coordinate(c * grid, r * grid),
+             centre=Coordinate(c * grid + grid // 2, r * grid + grid // 2),
+             penalty=0.0, row=r, col=c, empty=False, artificial=False)
+        for r, c in rcs
+    ]
+
+
+class TestLattice:
+    def test_artificial_columns_span(self):
+        # 36-col lattice, 720px frame: columns 10..26 inclusive
+        # (reference run_on_main.py:61-67).
+        mask = artificial_column_mask(36, 720, 20, 8)
+        assert np.flatnonzero(mask).tolist() == list(range(10, 27))
+
+    def test_start_row_replay_vs_live(self):
+        # replay (0.8375*1280=1072 -> 1080 -> row 54), run_on_main.py:104
+        assert artificial_start_row(1280, 20, 0.8375, replay_rounding=True) == 54
+        # live (0.875*1280=1120 aligned, stays), FrameProcessor.py:126-127
+        assert artificial_start_row(1280, 20, 0.875, replay_rounding=False) == 56
+        # replay rounding bumps aligned values one full cell
+        assert artificial_start_row(1280, 20, 0.875, replay_rounding=True) == 57
+
+    def test_inject_marks_only_new_cells(self):
+        occ = np.zeros((64, 36), dtype=bool)
+        occ[60, 12] = True
+        walkable, artificial = inject_artificial_cells(occ, 720, 1280)
+        assert walkable[60, 12] and not artificial[60, 12]
+        assert walkable[60, 10] and artificial[60, 10]
+        assert not walkable[53, 10]  # above the artificial start row
+        assert walkable[54, 26] and not walkable[54, 27]
+
+    def test_run_extents_rows(self):
+        w = np.array([[0, 1, 1, 0, 1]], dtype=bool)
+        start, end = run_extents(w, axis=1)
+        assert (start[0, 1], end[0, 1]) == (1, 2)
+        assert (start[0, 2], end[0, 2]) == (1, 2)
+        assert (start[0, 4], end[0, 4]) == (4, 4)
+
+    def test_penalty_single_row(self):
+        # One row of 5: ratios 0,.25,.5,.75,1 -> row_p 1,.5,0,.5,1.
+        # Column runs are singletons -> col_p 0. Dominance blend:
+        # row_p=1 saturates to 1; row_p=.5, col_p=0 -> dom=1, w=.75 -> .375.
+        w = np.zeros((3, 7), dtype=bool)
+        w[1, 1:6] = True
+        p = penalty_field(w)
+        np.testing.assert_allclose(p[1, 1:6], [1.0, 0.375, 0.0, 0.375, 1.0])
+
+    def test_penalty_empty_cells_zero(self):
+        w = np.zeros((4, 4), dtype=bool)
+        assert penalty_field(w).sum() == 0.0
+
+
+class TestPeaks:
+    def test_rasterize_matches_cv2_fillpoly(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(0)
+        occ = rng.random((16, 12)) > 0.6
+        mine = rasterize_cells(occ, 16 * 20, 12 * 20)
+        theirs = np.zeros((320, 240), dtype=np.uint8)
+        for r, c in zip(*np.nonzero(occ)):
+            x, y = int(c) * 20, int(r) * 20
+            pts = np.array([[x, y], [x + 20, y], [x + 20, y + 20], [x, y + 20]],
+                           np.int32)
+            cv2.fillPoly(theirs, [pts], 255)
+        np.testing.assert_array_equal(mine, theirs)
+
+    def test_two_separate_peaks(self):
+        occ = np.zeros((10, 20), dtype=bool)
+        occ[2:10, 2:4] = True    # tall left tower
+        occ[2:10, 14:16] = True  # tall right tower
+        peaks = find_peaks(rasterize_cells(occ, 200, 400))
+        assert len(peaks) == 2
+        assert peaks[0].centre.x < peaks[1].centre.x
+        assert all(p.centre.y == 40 for p in peaks)
+
+    def test_single_wide_block_orientation(self):
+        occ = np.zeros((10, 20), dtype=bool)
+        occ[5:10, 0:20] = True  # wide short slab: not "up"
+        peaks = find_peaks(rasterize_cells(occ, 200, 400))
+        assert len(peaks) == 1
+        assert peaks[0].orientation in ("left", "right")
+
+    def test_empty_image(self):
+        assert find_peaks(np.zeros((100, 100), np.uint8)) == []
+
+
+class TestAStar:
+    def test_straight_corridor(self):
+        w = np.zeros((10, 3), dtype=bool)
+        w[:, 1] = True
+        pen = penalty_field(w)
+        eng = AStarEngine()
+        path, cost = eng.find_path(w, pen, (9, 1), (0, 1))
+        assert path == [(r, 1) for r in range(9, -1, -1)]
+        # col penalties: interior cells ratio blend; row runs singleton.
+        assert cost > 0
+
+    def test_no_route(self):
+        w = np.zeros((5, 5), dtype=bool)
+        w[0, 0] = w[4, 4] = True
+        eng = AStarEngine()
+        path, cost = eng.find_path(w, np.zeros((5, 5)), (4, 4), (0, 0))
+        assert path == [] and cost == float("inf")
+
+    def test_closest_cell_row_major_ties(self):
+        w = np.zeros((3, 3), dtype=bool)
+        w[0, 0] = w[0, 2] = True
+        # Equidistant from centre of the lattice: first in row-major order wins
+        # (reference utils.py:6-32 strict-improvement scan).
+        assert closest_cell_to_point(w, (30, 10)) == (0, 0)
+
+    def test_angle_cache_bug_mode_changes_costs(self):
+        # An L-shaped corridor forces >30 degree window angles; in bug mode the
+        # second identical search reuses cached radians and gets cheaper edges.
+        w = np.zeros((12, 12), dtype=bool)
+        w[2:11, 2] = True
+        w[2, 2:11] = True
+        pen = np.zeros((12, 12))
+        bug = AStarEngine(replicate_radians_cache_bug=True)
+        p1, c1 = bug.find_path(w, pen, (10, 2), (2, 10))
+        p2, c2 = bug.find_path(w, pen, (10, 2), (2, 10))
+        fixed = AStarEngine(replicate_radians_cache_bug=False)
+        q1, d1 = fixed.find_path(w, pen, (10, 2), (2, 10))
+        q2, d2 = fixed.find_path(w, pen, (10, 2), (2, 10))
+        assert d1 == d2  # fixed mode is deterministic across calls
+        assert c2 < c1   # bug mode: cache hits silence the angle penalty
+
+
+class TestSemantics:
+    def test_straight_path_single_section(self):
+        cells = make_cells([(r, 5) for r in range(20, 5, -1)])
+        p = build_path(cells, 100.0)
+        assert len(p.sections) == 1
+        assert p.sections[0].path_type == "section-straight"
+        assert p.corners == []
+
+    def test_l_path_sections_and_corner(self):
+        rcs = [(r, 5) for r in range(30, 20, -1)]
+        rcs += [(20, c) for c in range(6, 14)]
+        rcs += [(r, 13) for r in range(19, 9, -1)]
+        p = build_path(make_cells(rcs), 100.0)
+        types = [s.path_type for s in p.sections]
+        assert types.count("section-straight") == 2
+        assert types.count("section-curved") == 1
+        assert len(p.corners) == 1
+        assert p.corners[0].direction == "right"
+
+    def test_similarity_subset_is_one(self):
+        a = [(0, 0), (0, 1), (0, 2)]
+        b = [(0, 0), (0, 1), (0, 2), (0, 3)]
+        assert path_similarity(a, b) == 1.0
+        assert path_similarity(a, [(5, 5)]) < 0.5

@@ -1,0 +1,215 @@
+"""Typed configuration for the vision-assist TPU framework.
+
+Every magic number that shapes observable behaviour in the reference is hoisted
+here (reference: config.py:1-22 plus inlined constants catalogued in SURVEY.md §5
+"Config / flag system"). The pipeline reads *only* from a PipelineConfig instance,
+so behaviour variants (live vs. replay) are config changes, not code forks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+# --- colour tables (BGR, reference config.py:4-22) -------------------------------
+
+PENALTY_COLOUR_GRADIENT: dict[float, tuple[int, int, int]] = {
+    1.0000: (0, 0, 255),
+    0.9166: (0, 60, 255),
+    0.8333: (0, 88, 255),
+    0.7500: (0, 109, 255),
+    0.6666: (0, 128, 255),
+    0.5833: (8, 145, 255),
+    0.5000: (0, 163, 249),
+    0.4166: (0, 183, 232),
+    0.3333: (0, 202, 208),
+    0.1666: (0, 221, 176),
+    0.0833: (0, 239, 129),
+    0.0000: (0, 255, 15),
+}
+
+CLOSE_GRID_COLOUR = (255, 187, 111)
+MID_GRID_COLOUR = (255, 53, 0)
+FAR_GRID_COLOUR = (255, 0, 97)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Cell-lattice geometry. Reference: config.py:1 (grid_size = 20)."""
+
+    grid_size: int = 20
+
+    # Artificial always-walkable cells injected at the user's feet so a path can
+    # always start there. Reference: FrameProcessor.py:60-65 (17 columns spanning
+    # frame-centre +/- 8 cells) and :126 (rows start at 0.875*H, live pipeline) vs.
+    # run_on_main.py:104 (0.8375*H in the replay tool).
+    artificial_half_span_cells: int = 8
+    artificial_row_start_frac: float = 0.875
+
+
+@dataclasses.dataclass(frozen=True)
+class PenaltyConfig:
+    """Distance-from-edge penalty field. Reference: PenaltyCalculator.py:57-142."""
+
+    # Cells with a row- or column-penalty above this are saturated to 1.
+    saturation_threshold: float = 0.99
+    # Dominance weighting: 0.5 +/- dominance_gain * |r-c|/(r+c).
+    dominance_gain: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class PeakConfig:
+    """Protrusion/peak detection. Reference: ProtrusionDetector.py:59-158."""
+
+    # Split top-row pixel runs on gaps wider than grid_size // peak_gap_divisor.
+    # Reference: ProtrusionDetector.py:92 (gap > grid_size // 4).
+    peak_gap_divisor: int = 4
+    # Vertical slice below the peak is +/- slice half width (= grid_size).
+    # Reference: ProtrusionDetector.py:102.
+    # Upward test: height > width * 0.5 and slice_count > height * 0.5
+    # (ProtrusionDetector.py:118-119).
+    upward_height_ratio: float = 0.5
+    upward_fill_ratio: float = 0.5
+    # Static padding for the fixed-shape TPU kernel.
+    max_peaks: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class PathFinderConfig:
+    """Curvature-penalised search. Reference: PathFinder.py:119-186."""
+
+    # Sliding window of points for angle analysis (PathFinder.py:165: 7 points).
+    angle_window: int = 7
+    # No angle penalty at or below this many degrees (PathFinder.py:168).
+    angle_grace_deg: float = 30.0
+    # Penalty = (angle/90)^exponent above the grace angle (PathFinder.py:168).
+    angle_exponent: float = 1.5
+    angle_denominator: float = 90.0
+    # Edge multiplier = 1 + penalty_weight*penalty + angle_weight*angle_penalty
+    # (PathFinder.py:171).
+    penalty_weight: float = 0.5
+    angle_weight: float = 1.5
+
+    # The reference caches angles across frames and stores radians while fresh
+    # computations return degrees (PathFinder.py:97-99) — effectively silencing
+    # the angle penalty on cache hits. We deliberately FIX this: the canonical
+    # semantics are "degrees always, no cross-frame cache", which equals the
+    # reference's behaviour on a fresh process (first frame) and is deterministic.
+    replicate_radians_cache_bug: bool = False
+
+    # Static padding for the fixed-shape TPU pathfinder.
+    max_path_len: int = 512
+    # Which engine the pipeline uses. "exact" = host A* twin (numpy / C++ native),
+    # bit-matching the reference algorithm; "wavefront" = on-chip batched search.
+    engine: Literal["exact", "wavefront"] = "wavefront"
+
+
+@dataclasses.dataclass(frozen=True)
+class PathDedupConfig:
+    """Jaccard path de-duplication. Reference: FrameProcessor.py:209-271."""
+
+    similarity_threshold: float = 0.90
+
+
+@dataclasses.dataclass(frozen=True)
+class SectionConfig:
+    """Path sectioning / corner detection. Reference: models.py:160-364."""
+
+    # A straight section needs at least this many aligned cells (models.py:190).
+    min_straight_cells: int = 5
+    # Between-sections shorter than this merge into the previous section
+    # (models.py:209).
+    merge_below_cells: int = 4
+    # Corner sharpness threshold in degrees (models.py:352).
+    sharp_angle_deg: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalyserConfig:
+    """Instruction synthesis. Reference: PathAnalyser.py (thresholds at
+    :53-65, :95, :106-127, :189, :213, :221, :242-283)."""
+
+    min_path_length_frac: float = 0.3          # PathAnalyser.py:53
+    path_danger_high_deg: float = 45.0         # :57
+    path_danger_medium_deg: float = 25.0       # :59
+    bearing_below_deg: float = 20.0            # :65
+    curve_below_deg: float = 35.0              # :65
+    corner_min_y_frac: float = 0.5             # :95
+    corner_danger_immediate: float = 0.75      # :120
+    corner_danger_high: float = 0.65           # :122
+    corner_danger_medium: float = 0.45         # :124
+    pair_max_time_ms: int = 1500               # :189
+    pair_max_move_frac: float = 0.2            # :213, :221
+    bearing_escalate_high_deg: float = 12.5    # :245
+    bearing_escalate_medium_deg: float = 7.5   # :249
+    bearing_escalate_low_deg: float = 3.75     # :253
+    turn_escalate_high_deg: float = 15.0       # :261
+    turn_escalate_medium_deg: float = 10.0     # :265
+    turn_escalate_low_deg: float = 7.5         # :269
+    drop_above_frac: float = 0.33              # :281
+    memory_window_ms: int = 5000               # :381
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Segmentation model. Reference: main.py:43 (YOLO(...)), model/train.py:12-13."""
+
+    arch: Literal["yolov8n-seg", "yolo11n-seg"] = "yolov8n-seg"
+    num_classes: int = 1                      # model/data.yaml:6
+    imgsz: int = 640
+    conf_threshold: float = 0.5               # FrameProcessor.py:322
+    iou_threshold: float = 0.7                # ultralytics default NMS IoU
+    max_detections: int = 32                  # padded static NMS output
+    reg_max: int = 16                         # DFL bins
+    num_mask_coeffs: int = 32
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlurConfig:
+    """Blur gate. Reference: FrameProcessor.py:44-48 (threshold 100, disabled
+    in the live path at :314-319)."""
+
+    laplacian_var_threshold: float = 100.0
+    enabled: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    frame_height: int = 1280
+    frame_width: int = 720
+    grid: GridConfig = GridConfig()
+    penalty: PenaltyConfig = PenaltyConfig()
+    peaks: PeakConfig = PeakConfig()
+    pathfinder: PathFinderConfig = PathFinderConfig()
+    dedup: PathDedupConfig = PathDedupConfig()
+    sections: SectionConfig = SectionConfig()
+    analyser: AnalyserConfig = AnalyserConfig()
+    model: ModelConfig = ModelConfig()
+    blur: BlurConfig = BlurConfig()
+    # Process every Nth camera frame (reference main.py:70).
+    process_every_n_frames: int = 15
+    # Number of concurrent camera streams batched per jitted step.
+    num_streams: int = 1
+
+    @property
+    def lattice_rows(self) -> int:
+        return self.frame_height // self.grid.grid_size
+
+    @property
+    def lattice_cols(self) -> int:
+        return self.frame_width // self.grid.grid_size
+
+    def replace(self, **kwargs) -> "PipelineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def replay_config(rows: int = 64, cols: int = 36) -> PipelineConfig:
+    """Config matching the reference's saved-grid replay harness
+    (run_on_main.py:45-145): full-frame lattice, artificial rows from 0.8375*H."""
+    return PipelineConfig(
+        frame_height=rows * 20,
+        frame_width=cols * 20,
+        grid=GridConfig(artificial_row_start_frac=0.8375),
+    )
