@@ -1,0 +1,185 @@
+"""Differential tests: on-chip (JAX) kernels vs the exact host twin.
+
+Run on CPU JAX (see conftest). The lattice, penalty-field, and peak kernels
+must match the host twin bit-for-bit / within float32 on all 13 scenario
+fixtures; the wavefront pathfinder is the *approximate* batched engine and is
+held to functional invariants plus known end-to-end agreement (the exact
+engines cover bit-parity — see planning/wavefront.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from vision_assist_tpu.golden.pipeline import GoldenReplayPipeline, materialize_cells
+from vision_assist_tpu.io.scenarios import load_scenario, scenario_names
+from vision_assist_tpu.ops.lattice import (
+    inject_artificial_cells,
+    occupancy_from_mask,
+    rasterize_cells,
+)
+from vision_assist_tpu.ops.penalty import penalty_field
+from vision_assist_tpu.ops.peaks import ORIENTATION_NAMES, find_peaks
+from vision_assist_tpu.planning.wavefront import closest_walkable_cell, find_paths
+from vision_assist_tpu.planning.dedup import deduplicate_paths
+from vision_assist_tpu.semantics.analyser import InstructionEngine
+from vision_assist_tpu.semantics.sections import build_path
+
+FRAME_W, FRAME_H = 720, 1280
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    out = {}
+    for name in scenario_names():
+        occ = load_scenario(name)
+        out[name] = (occ, GoldenReplayPipeline().process(occ))
+    return out
+
+
+@pytest.fixture(scope="module")
+def device_fields(goldens):
+    out = {}
+    for name, (occ, gold) in goldens.items():
+        walk, art = inject_artificial_cells(
+            jnp.asarray(occ), frame_width=FRAME_W, frame_height=FRAME_H)
+        pen = penalty_field(walk)
+        peaks = find_peaks(rasterize_cells(walk))
+        out[name] = (walk, art, pen, peaks, gold)
+    return out
+
+
+def test_occupancy_from_mask_centre_sampling():
+    mask = np.zeros((1280, 720), dtype=np.uint8)
+    mask[100:200, 100:300] = 1       # covers centres of cells rows 5..9, cols 5..14
+    occ = np.asarray(occupancy_from_mask(jnp.asarray(mask)))
+    assert occ.shape == (64, 36)
+    assert occ[5:10, 5:15].all()
+    assert occ.sum() == 5 * 10
+
+
+def test_lattice_bit_exact(device_fields):
+    for name, (walk, art, _, _, gold) in device_fields.items():
+        np.testing.assert_array_equal(np.asarray(walk), gold.walkable, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(art), gold.artificial, err_msg=name)
+
+
+def test_penalty_matches_float32(device_fields):
+    for name, (_, _, pen, _, gold) in device_fields.items():
+        np.testing.assert_allclose(
+            np.asarray(pen, np.float64), gold.penalty, atol=1e-6, err_msg=name)
+
+
+def test_rasterize_matches_host(goldens):
+    from vision_assist_tpu.golden.peaks import rasterize_cells as host_raster
+    name = "two_global_peaks"
+    occ, gold = goldens[name]
+    mine = np.asarray(rasterize_cells(jnp.asarray(gold.walkable)))
+    theirs = host_raster(gold.walkable, FRAME_H, FRAME_W) == 255
+    np.testing.assert_array_equal(mine, theirs)
+
+
+def test_peaks_bit_exact(device_fields):
+    for name, (_, _, _, pk, gold) in device_fields.items():
+        n = int(pk.valid.sum())
+        assert n == len(gold.peaks), name
+        for i, gp in enumerate(gold.peaks):
+            assert int(pk.centre_x[i]) == gp.centre.x, name
+            assert int(pk.centre_y[i]) == gp.centre.y, name
+            assert int(pk.left_x[i]) == gp.left.x, name
+            assert int(pk.right_x[i]) == gp.right.x, name
+            assert ORIENTATION_NAMES[int(pk.orientation[i])] == gp.orientation, name
+
+
+def test_start_cell_matches(device_fields):
+    for name, (walk, _, _, _, gold) in device_fields.items():
+        start = tuple(np.asarray(
+            closest_walkable_cell(walk, jnp.array([FRAME_W // 2, FRAME_H]))))
+        assert start == gold.start_cell, name
+
+
+def _wavefront_paths(walk, pen, pk):
+    start = closest_walkable_cell(walk, jnp.array([FRAME_W // 2, FRAME_H]))
+    goals = jnp.stack([
+        closest_walkable_cell(
+            walk, jnp.stack([pk.centre_x[i], pk.centre_y[i]]))
+        for i in range(pk.valid.shape[0])
+    ])
+    return start, find_paths(walk, pen, start, goals, pk.valid)
+
+
+def test_wavefront_invariants(device_fields):
+    """Paths are valid walks: start at the start cell, end at the goal,
+    4-connected, on walkable cells only, strictly positive finite cost."""
+    for name, (walk, _, pen, pk, gold) in device_fields.items():
+        start, pb = _wavefront_paths(walk, pen, pk)
+        start = tuple(np.asarray(start))
+        w = np.asarray(walk)
+        for i in range(int(pk.valid.sum())):
+            assert bool(pb.valid[i]), name
+            L = int(pb.lengths[i])
+            cells = [tuple(x) for x in np.asarray(pb.cells[i][:L])]
+            assert cells[0] == start, name
+            assert all(w[r, c] for r, c in cells), name
+            for a, b in zip(cells, cells[1:]):
+                assert abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1, name
+            assert 0 < float(pb.costs[i]) < 1e9, name
+            assert np.all(np.asarray(pb.cells[i][L:]) == -1), name
+
+
+# The wavefront engine trades the reference's exploration-order tie-breaking
+# for a deterministic Markovian cost; on these fixtures its end-to-end answer
+# currently agrees with the bit-exact golden on 9/13 (the four routes below
+# pick different equal-length corridors, changing corner analysis). Tracked
+# for improvement; exact parity is served by the host/native engine.
+KNOWN_ANSWER_DIVERGENT = {
+    "insane_case", "insane_case2", "obstacle_on_path",
+    "two_peaks_not_on_same_level",
+}
+
+
+def test_wavefront_end_to_end_answers(device_fields):
+    for name, (walk, art, pen, pk, gold) in device_fields.items():
+        start, pb = _wavefront_paths(walk, pen, pk)
+        pen_np = np.asarray(pen, np.float64)
+        art_np = np.asarray(art)
+        paths = []
+        for i in range(int(pk.valid.sum())):
+            L = int(pb.lengths[i])
+            rc = [tuple(x) for x in np.asarray(pb.cells[i][:L])]
+            paths.append(build_path(
+                materialize_cells(rc, pen_np, art_np, 20), float(pb.costs[i])))
+        answer = InstructionEngine()(FRAME_H, FRAME_W, deduplicate_paths(paths), 0)
+        if name in KNOWN_ANSWER_DIVERGENT:
+            assert answer != gold.final_answer, (
+                f"{name}: wavefront now agrees with golden — move it out of "
+                "KNOWN_ANSWER_DIVERGENT")
+        else:
+            assert answer == gold.final_answer, name
+
+
+def test_wavefront_batches_with_vmap(goldens):
+    """The whole planning chain vmaps over a stream axis."""
+    names = ["right_turn", "left_turn"]
+    occ = jnp.asarray(np.stack([goldens[n][0] for n in names]))
+
+    def plan(occ1):
+        walk, _ = inject_artificial_cells(
+            occ1, frame_width=FRAME_W, frame_height=FRAME_H)
+        pen = penalty_field(walk)
+        pk = find_peaks(rasterize_cells(walk))
+        start = closest_walkable_cell(walk, jnp.array([FRAME_W // 2, FRAME_H]))
+        goals = jax.vmap(
+            lambda x, y: closest_walkable_cell(walk, jnp.stack([x, y]))
+        )(pk.centre_x, pk.centre_y)
+        return find_paths(walk, pen, start, goals, pk.valid)
+
+    batched = jax.vmap(plan)(occ)
+    assert batched.cells.shape[0] == 2
+    for b, name in enumerate(names):
+        _, gold = goldens[name]
+        assert int(batched.valid[b].sum()) == len(gold.raw_paths)
