@@ -93,10 +93,10 @@ class PathFinderConfig:
 
     # The reference caches angles across frames and stores radians while fresh
     # computations return degrees (PathFinder.py:97-99) — effectively silencing
-    # the angle penalty on cache hits. We deliberately FIX this: the canonical
-    # semantics are "degrees always, no cross-frame cache", which equals the
-    # reference's behaviour on a fresh process (first frame) and is deterministic.
-    replicate_radians_cache_bug: bool = False
+    # the angle penalty on cache hits. Default True: the exact engine replicates
+    # the reference bit-for-bit (parity is the north star). Set False for the
+    # "fixed" deterministic semantics (degrees always) — documented deviation.
+    replicate_radians_cache_bug: bool = True
 
     # Static padding for the fixed-shape TPU pathfinder.
     max_path_len: int = 512

@@ -1,0 +1,111 @@
+"""YOLO-seg dataset: polygon label parsing and fixed-shape packing.
+
+Reads the reference's Roboflow "sidewalk" dataset layout
+(model/{train,valid,test}/{images,labels}, model/data.yaml — 1 class, polygon
+labels "cls x1 y1 x2 y2 ..." normalised to [0,1]).
+
+Packing is TPU-first: every image becomes fixed-shape targets
+(max_instances boxes/classes + one overlap-index mask at imgsz/mask_ratio,
+ultralytics overlap_mask=True semantics) so batches are static and the whole
+train step jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImageRecord:
+    image_path: pathlib.Path
+    polygons: list[np.ndarray]      # each (Ni, 2) float32, normalised [0,1]
+    classes: np.ndarray             # (N,) int32
+
+
+def parse_label_file(path: pathlib.Path) -> tuple[list[np.ndarray], np.ndarray]:
+    polygons: list[np.ndarray] = []
+    classes: list[int] = []
+    if not path.exists():
+        return polygons, np.zeros((0,), np.int32)
+    for line in path.read_text().strip().splitlines():
+        parts = line.split()
+        if len(parts) < 7:  # class + at least 3 points
+            continue
+        classes.append(int(float(parts[0])))
+        pts = np.array(parts[1:], dtype=np.float32).reshape(-1, 2)
+        polygons.append(pts)
+    return polygons, np.asarray(classes, np.int32)
+
+
+class SegDataset:
+    """Index of (image, polygons) records for one split."""
+
+    def __init__(self, root: str | pathlib.Path, split: str = "train"):
+        root = pathlib.Path(root)
+        img_dir = root / split / "images"
+        lbl_dir = root / split / "labels"
+        self.records: list[ImageRecord] = []
+        for img_path in sorted(img_dir.glob("*.jpg")) + sorted(img_dir.glob("*.png")):
+            polys, classes = parse_label_file(
+                lbl_dir / (img_path.stem + ".txt"))
+            self.records.append(ImageRecord(img_path, polys, classes))
+        if not self.records:
+            raise FileNotFoundError(f"no images under {img_dir}")
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(str(self.records[idx].image_path))
+        if img is None:
+            raise IOError(f"failed to read {self.records[idx].image_path}")
+        return img  # BGR uint8
+
+
+def polygons_to_overlap_mask(polygons: list[np.ndarray], classes: np.ndarray,
+                             hw: tuple[int, int], mask_hw: tuple[int, int],
+                             max_instances: int
+                             ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Rasterise polygons (in PIXEL coords of an hw-sized image) to the
+    overlap-index mask + packed boxes, ultralytics overlap_mask semantics:
+    instances sorted by area descending, drawn with values 1..N so smaller
+    instances overwrite larger ones.
+
+    Returns (index_mask (mh, mw) uint8, boxes_xyxy (max_instances, 4) pixels,
+    classes (max_instances,), valid (max_instances,)).
+    """
+    import cv2
+
+    h, w = hw
+    mh, mw = mask_hw
+    sx, sy = mw / w, mh / h
+
+    n = min(len(polygons), max_instances)
+    areas = []
+    for p in polygons[:n]:
+        x1, y1 = p.min(axis=0)
+        x2, y2 = p.max(axis=0)
+        areas.append(max(x2 - x1, 0) * max(y2 - y1, 0))
+    order = np.argsort(-np.asarray(areas)) if n else np.zeros(0, np.int64)
+
+    mask = np.zeros((mh, mw), np.uint8)
+    boxes = np.zeros((max_instances, 4), np.float32)
+    cls_out = np.zeros((max_instances,), np.int32)
+    valid = np.zeros((max_instances,), bool)
+
+    for slot, inst in enumerate(order):
+        p = polygons[inst]
+        scaled = np.round(p * [sx, sy]).astype(np.int32)
+        cv2.fillPoly(mask, [scaled], slot + 1)
+        x1, y1 = p.min(axis=0)
+        x2, y2 = p.max(axis=0)
+        boxes[slot] = [x1, y1, x2, y2]
+        cls_out[slot] = classes[inst] if inst < len(classes) else 0
+        valid[slot] = (x2 > x1) and (y2 > y1)
+
+    return mask, boxes, cls_out, valid

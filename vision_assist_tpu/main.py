@@ -1,0 +1,157 @@
+"""CLI driver — twin of the reference's main.py:12-147 serving loop, plus a
+replay subcommand for the saved-grid scenario harness.
+
+Usage:
+    python -m vision_assist_tpu.main video --source clip.mp4 [--weights w.msgpack]
+        [--process-fps 8] [--engine wavefront|exact] [--debug --output out/]
+    python -m vision_assist_tpu.main replay right_turn [--engine exact] [--debug]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vision-assist-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("video", help="process a video stream end to end")
+    v.add_argument("--weights", type=str, default=None,
+                   help="msgpack checkpoint of model variables (random init if omitted)")
+    v.add_argument("--source", type=str, required=True, help="video file path")
+    v.add_argument("--output", type=str, default="results/")
+    v.add_argument("--process-fps", type=int, default=8)
+    v.add_argument("--camera-fps", type=float, default=30.0)
+    v.add_argument("--every-n", type=int, default=15,
+                   help="process every Nth frame (reference main.py:70)")
+    v.add_argument("--engine", choices=["wavefront", "exact"], default="wavefront")
+    v.add_argument("--arch", default="yolov8n-seg")
+    v.add_argument("--verbose", action="store_true")
+    v.add_argument("--debug", action="store_true",
+                   help="render + save overlay frames")
+
+    r = sub.add_parser("replay", help="run a saved occupancy scenario")
+    r.add_argument("scenario", type=str,
+                   help="scenario name (see tests/fixtures/scenarios)")
+    r.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
+    r.add_argument("--debug", action="store_true")
+    r.add_argument("--output", type=str, default="results/")
+    return p
+
+
+def run_replay(args) -> int:
+    from vision_assist_tpu.config import replay_config
+    from vision_assist_tpu.io.scenarios import load_scenario, scenario_names
+    from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
+
+    names = scenario_names()
+    if args.scenario not in names:
+        print(f"unknown scenario {args.scenario!r}; available: {', '.join(names)}")
+        return 1
+
+    cfg = replay_config()
+    cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine))
+    fp = FrameProcessor(cfg, debug=args.debug, replay_rounding=True)
+    occ = load_scenario(args.scenario)
+
+    t0 = time.perf_counter()
+    res = fp.process_occupancy(occ, now_ms=0)
+    dt = time.perf_counter() - t0
+
+    print(f"scenario:     {args.scenario}")
+    print(f"engine:       {args.engine}")
+    print(f"peaks:        {len(res.peaks)}")
+    print(f"paths:        {len(res.paths)}"
+          f" (lengths: {[len(p.cells) for p in res.paths]})")
+    print(f"final answer: {res.final_answer}")
+    print(f"latency:      {dt * 1000:.1f} ms (includes first-call compile)")
+
+    if args.debug and res.overlay is not None:
+        out = pathlib.Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{args.scenario}_overlay.png"
+        try:
+            import cv2
+            cv2.imwrite(str(path), res.overlay)
+            print(f"overlay:      {path}")
+        except ImportError:
+            np.save(path.with_suffix(".npy"), res.overlay)
+    return 0
+
+
+def run_video(args) -> int:
+    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.io.mock_camera import MockCamera
+    from vision_assist_tpu.models.inference import Segmenter
+    from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
+
+    cam = MockCamera(args.source, target_fps=args.camera_fps)
+    cfg = PipelineConfig(frame_height=cam.frame_height,
+                         frame_width=cam.frame_width)
+    cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine))
+
+    mcfg = ModelConfig(arch=args.arch)
+    variables = None
+    if args.weights:
+        from vision_assist_tpu.models.checkpoint import load_variables
+        variables = load_variables(args.weights)
+    seg = Segmenter(mcfg, variables=variables,
+                    example_hw=(cam.frame_height, cam.frame_width),
+                    grid_size=cfg.grid.grid_size)
+    fp = FrameProcessor(cfg, segmenter=seg, debug=args.debug)
+
+    out_dir = pathlib.Path(args.output) / f"{pathlib.Path(args.source).stem}_frames"
+    if args.debug:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    frame_count = 0
+    processed = 0
+    latencies = []
+    try:
+        while cam.isOpened():
+            ret, frame = cam.read()
+            if not ret:
+                break
+            frame_count += 1
+            if frame_count % args.every_n != 0:
+                continue
+            t0 = time.perf_counter()
+            res = fp(frame)
+            dt = time.perf_counter() - t0
+            processed += 1
+            latencies.append(dt)
+            print(f"frame {frame_count}: {res.final_answer} "
+                  f"({dt * 1000:.1f} ms)")
+            if args.debug and res.overlay is not None:
+                import cv2
+                cv2.imwrite(str(out_dir / f"frame_{processed:04d}.png"),
+                            res.overlay)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        cam.release()
+
+    if latencies:
+        lat = np.array(latencies[1:] or latencies)  # drop compile frame
+        print("\nprocessing summary:")
+        print(f"  frames processed: {processed}")
+        print(f"  mean latency:     {lat.mean() * 1000:.1f} ms")
+        print(f"  p50 latency:      {np.percentile(lat, 50) * 1000:.1f} ms")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "replay":
+        return run_replay(args)
+    return run_video(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""The jitted planning step: occupancy lattice -> paths + fields.
+
+This is the non-model half of the frame program (SURVEY.md §7 M1): artificial
+cells, penalty field, rasterised peaks, start/goal selection and the wavefront
+search, fused into ONE jitted function with static shapes that vmaps over a
+stream axis. The model half (models/inference.py) produces the input
+occupancy; the replay harness feeds saved occupancy directly (the reference's
+YOLO-bypass pattern, run_on_main.py:147-201).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vision_assist_tpu.config import PipelineConfig
+from vision_assist_tpu.ops.lattice import inject_artificial_cells, rasterize_cells
+from vision_assist_tpu.ops.peaks import PeakSet, find_peaks
+from vision_assist_tpu.ops.penalty import penalty_field
+from vision_assist_tpu.planning.wavefront import (
+    PathBatch,
+    closest_walkable_cell,
+    find_paths,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PlanResult:
+    walkable: jax.Array     # (R, C) bool
+    artificial: jax.Array   # (R, C) bool
+    penalty: jax.Array      # (R, C) f32
+    peaks: PeakSet
+    start_rc: jax.Array     # (2,) int32
+    paths: PathBatch
+
+    def tree_flatten(self):
+        return ((self.walkable, self.artificial, self.penalty, self.peaks,
+                 self.start_rc, self.paths), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False):
+    """Build the jitted planning function for a fixed config.
+
+    Returned fn: occupancy (R, C) bool -> PlanResult. Batch with jax.vmap.
+    """
+    g = cfg.grid.grid_size
+    pf = cfg.pathfinder
+
+    @jax.jit
+    def plan(occupancy: jax.Array) -> PlanResult:
+        walkable, artificial = inject_artificial_cells(
+            occupancy,
+            frame_width=cfg.frame_width, frame_height=cfg.frame_height,
+            grid_size=g, half_span=cfg.grid.artificial_half_span_cells,
+            row_start_frac=cfg.grid.artificial_row_start_frac,
+            replay_rounding=replay_rounding,
+        )
+        penalty = penalty_field(
+            walkable,
+            saturation_threshold=cfg.penalty.saturation_threshold,
+            dominance_gain=cfg.penalty.dominance_gain,
+        )
+        peaks = find_peaks(rasterize_cells(walkable, g), g,
+                           max_peaks=cfg.peaks.max_peaks)
+        start = closest_walkable_cell(
+            walkable, jnp.array([cfg.frame_width // 2, cfg.frame_height]), g)
+        goals = jax.vmap(
+            lambda x, y: closest_walkable_cell(walkable, jnp.stack([x, y]), g)
+        )(peaks.centre_x, peaks.centre_y)
+        paths = find_paths(
+            walkable, penalty, start, goals, peaks.valid,
+            grid_size=g, max_len=pf.max_path_len,
+            penalty_weight=pf.penalty_weight, angle_weight=pf.angle_weight,
+            angle_grace_deg=pf.angle_grace_deg,
+            angle_exponent=pf.angle_exponent,
+            angle_denominator=pf.angle_denominator,
+        )
+        return PlanResult(walkable=walkable, artificial=artificial,
+                          penalty=penalty, peaks=peaks, start_rc=start,
+                          paths=paths)
+
+    return plan
