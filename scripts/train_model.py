@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Train the Flax YOLO-seg model on the sidewalk dataset (TPU).
+
+Counterpart of the reference's model/train.py (ultralytics one-liner), with
+the same recipe defaults: 640 imgsz, SGD, mosaic until the last 10 epochs.
+
+Usage:
+  python scripts/train_model.py --data /root/reference/model --epochs 100 \
+      --batch 32 --out runs/seg1 [--arch yolov8n-seg] [--eval-every 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/model")
+    ap.add_argument("--arch", default="yolov8n-seg")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--lr0", type=float, default=0.01)
+    ap.add_argument("--close-mosaic", type=int, default=10)
+    ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--eval-images", type=int, default=256)
+    ap.add_argument("--out", default="runs/seg")
+    ap.add_argument("--resume", default=None,
+                    help="msgpack checkpoint to initialise params from")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_assist_tpu.utils.cache import enable as enable_cache
+    enable_cache()
+    from flax import serialization
+    from flax.core import freeze
+
+    from vision_assist_tpu.data.dataset import SegDataset
+    from vision_assist_tpu.data.loader import BatchLoader
+    from vision_assist_tpu.models.checkpoint import load_variables, save_variables
+    from vision_assist_tpu.models.evaluate import evaluate
+    from vision_assist_tpu.models.losses import LossConfig
+    from vision_assist_tpu.models.train import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from vision_assist_tpu.models.yolo import YoloSeg
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    print("device:", jax.devices()[0], flush=True)
+
+    ds = SegDataset(args.data, "train")
+    loader = BatchLoader(ds, batch_size=args.batch, imgsz=args.imgsz,
+                         augment=True, seed=0)
+    steps_per_epoch = len(loader)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
+                      imgsz=args.imgsz, lr0=args.lr0)
+    model = YoloSeg(arch=args.arch, num_classes=1)
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                               steps_per_epoch)
+    if args.resume:
+        restored = load_variables(args.resume)
+        state = state.replace(
+            params=serialization.from_state_dict(state.params,
+                                                 restored["params"]),
+            ema_params=serialization.from_state_dict(state.ema_params,
+                                                     restored["params"]),
+            batch_stats=serialization.from_state_dict(state.batch_stats,
+                                                      restored["batch_stats"]))
+        print(f"resumed params from {args.resume}", flush=True)
+
+    step = make_train_step(model, LossConfig(), cfg)
+    history = []
+    best_map = -1.0
+
+    for epoch in range(args.epochs):
+        if args.epochs - epoch == args.close_mosaic and loader.mosaic_enabled:
+            loader.mosaic_enabled = False
+            print("mosaic closed", flush=True)
+
+        t0 = time.time()
+        losses = []
+        for batch in loader.epoch():
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, batch)
+            losses.append(metrics)
+        jax.block_until_ready(losses[-1]["loss"])
+        mean = {k: float(np.mean([float(m[k]) for m in losses]))
+                for k in losses[0]}
+        dt = time.time() - t0
+        line = (f"epoch {epoch + 1}/{args.epochs} "
+                f"loss={mean['loss']:.3f} box={mean['box']:.3f} "
+                f"seg={mean['seg']:.3f} cls={mean['cls']:.3f} "
+                f"dfl={mean['dfl']:.3f} [{dt:.1f}s, "
+                f"{steps_per_epoch * args.batch / dt:.1f} img/s]")
+        print(line, flush=True)
+        record = {"epoch": epoch + 1, **mean, "time_s": dt}
+
+        is_last = epoch + 1 == args.epochs
+        if (epoch + 1) % args.eval_every == 0 or is_last:
+            ema_vars = freeze({"params": state.ema_params,
+                               "batch_stats": state.batch_stats})
+            m = evaluate(model, ema_vars, args.data, "valid",
+                         imgsz=args.imgsz,
+                         max_images=None if is_last else args.eval_images)
+            print(f"  val: mAP50(M)={m['map50_mask']:.4f} "
+                  f"mAP50-95(M)={m['map50_95_mask']:.4f} "
+                  f"mAP50(B)={m['map50_box']:.4f}", flush=True)
+            record.update(m)
+            if m["map50_mask"] > best_map:
+                best_map = m["map50_mask"]
+                save_variables(out / "best.msgpack",
+                               {"params": state.ema_params,
+                                "batch_stats": state.batch_stats})
+        history.append(record)
+        (out / "history.json").write_text(json.dumps(history, indent=1))
+        save_variables(out / "last.msgpack",
+                       {"params": state.ema_params,
+                        "batch_stats": state.batch_stats})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,172 @@
+"""Tests for the training stack: data packing, augmentation geometry, TAL
+assignment, loss behaviour, and one full train step (tiny shapes, CPU)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from vision_assist_tpu.data.augment import (
+    AugmentConfig,
+    flip_lr,
+    letterbox_np,
+    mosaic4,
+)
+from vision_assist_tpu.data.dataset import polygons_to_overlap_mask
+from vision_assist_tpu.models.losses import (
+    LossConfig,
+    ciou,
+    task_aligned_assign,
+    yolo_seg_loss,
+)
+from vision_assist_tpu.models.train import (
+    TrainConfig,
+    create_train_state,
+    lr_schedule,
+    make_train_step,
+)
+from vision_assist_tpu.models.yolo import YoloSeg, YoloSegOutputs
+
+
+def _square_poly(x1, y1, x2, y2):
+    return np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32)
+
+
+class TestData:
+    def test_overlap_mask_order(self):
+        # Smaller instance must overwrite larger (drawn later).
+        big = _square_poly(0, 0, 80, 80)
+        small = _square_poly(20, 20, 40, 40)
+        mask, boxes, classes, valid = polygons_to_overlap_mask(
+            [small, big], np.array([0, 0]), (80, 80), (80, 80), 8)
+        assert valid[:2].all() and not valid[2:].any()
+        # big drawn first (slot 1), small overwrites (slot 2)
+        assert mask[10, 10] == 1
+        assert mask[30, 30] == 2
+        np.testing.assert_allclose(boxes[0], [0, 0, 80, 80])
+
+    def test_letterbox_np_polygons(self):
+        img = np.zeros((100, 50, 3), np.uint8)
+        polys = [_square_poly(0, 0, 50, 100)]
+        out, tp = letterbox_np(img, polys, 200)
+        assert out.shape == (200, 200, 3)
+        # ratio 2, pad left (200-100)/2 = 50
+        np.testing.assert_allclose(tp[0][2], [150, 200])
+
+    def test_flip_lr(self):
+        img = np.zeros((10, 100, 3), np.uint8)
+        _, polys = flip_lr(img, [_square_poly(10, 0, 30, 5)])
+        np.testing.assert_allclose(sorted(polys[0][:, 0]), [70, 70, 90, 90])
+
+    def test_mosaic_shapes(self):
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (100, 80, 3), np.uint8) for _ in range(4)]
+        polys = [[_square_poly(0, 0, 80, 100)] for _ in range(4)]
+        canvas, out = mosaic4(imgs, polys, rng, 160)
+        assert canvas.shape == (320, 320, 3)
+        assert len(out) == 4
+        for p in out:
+            assert (p >= 0).all() and (p < 320).all()
+
+
+class TestLosses:
+    def test_ciou_perfect_overlap(self):
+        b = jnp.asarray([[0.0, 0, 10, 10]])
+        np.testing.assert_allclose(np.asarray(ciou(b, b)), [1.0], atol=1e-5)
+
+    def test_ciou_disjoint_negative(self):
+        a = jnp.asarray([[0.0, 0, 10, 10]])
+        b = jnp.asarray([[100.0, 100, 110, 110]])
+        assert float(ciou(a, b)[0]) < 0
+
+    def test_tal_assigns_inside_anchors(self):
+        a = 16
+        xs = (jnp.arange(4, dtype=jnp.float32) + 0.5) * 8
+        xv, yv = jnp.meshgrid(xs, xs)
+        anchors = jnp.stack([xv.ravel(), yv.ravel()], -1)       # 4x4 grid
+        gt = jnp.asarray([[[0.0, 0, 16, 16]]])                  # top-left cell
+        gt_cls = jnp.zeros((1, 1), jnp.int32)
+        gt_valid = jnp.ones((1, 1), bool)
+        # Perfect prediction at every anchor.
+        pred_boxes = jnp.tile(gt[0], (1, a, 1))
+        scores = jnp.full((1, a, 1), 0.9)
+        fg, assigned, tgt = task_aligned_assign(
+            scores, pred_boxes, anchors, gt, gt_cls, gt_valid, LossConfig())
+        fg = np.asarray(fg)[0]
+        # Only anchors inside the GT box (x,y < 16 -> anchors (4,4) and (12,12)
+        # etc: first 2 of each row/col) can be foreground.
+        inside = (np.asarray(anchors)[:, 0] < 16) & (np.asarray(anchors)[:, 1] < 16)
+        assert fg[~inside].sum() == 0
+        assert fg[inside].sum() > 0
+        assert np.asarray(tgt).max() <= 1.0 + 1e-6
+
+    def _tiny_outputs_and_batch(self, b=2, s=64):
+        model = YoloSeg(arch="yolov8n-seg", num_classes=1)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))
+        out = model.apply(v, jnp.zeros((b, s, s, 3)))
+        mh = s // 4
+        masks = np.zeros((b, mh, mh), np.uint8)
+        masks[:, 2:10, 2:10] = 1
+        batch = {
+            "boxes": jnp.tile(jnp.asarray([[8.0, 8, 40, 40]]), (b, 4, 1)),
+            "classes": jnp.zeros((b, 4), jnp.int32),
+            "valid": jnp.asarray(np.tile([True, False, False, False], (b, 1))),
+            "masks": jnp.asarray(masks),
+        }
+        return out, batch
+
+    def test_loss_finite_and_components(self):
+        out, batch = self._tiny_outputs_and_batch()
+        loss, parts = yolo_seg_loss(out, batch, LossConfig(mask_topk=8), 64)
+        assert np.isfinite(float(loss))
+        for k in ("box", "seg", "cls", "dfl"):
+            assert np.isfinite(float(parts[k])), k
+        assert float(parts["fg_per_img"]) > 0
+
+    def test_no_gt_only_cls_loss(self):
+        out, batch = self._tiny_outputs_and_batch()
+        batch["valid"] = jnp.zeros_like(batch["valid"])
+        loss, parts = yolo_seg_loss(out, batch, LossConfig(mask_topk=8), 64)
+        assert np.isfinite(float(loss))
+        assert float(parts["fg_per_img"]) == 0
+        assert float(parts["box"]) == 0
+
+
+class TestTrainStep:
+    def test_lr_schedule(self):
+        cfg = TrainConfig(epochs=10, warmup_epochs=1, lr0=0.01, lrf=0.1)
+        sched = lr_schedule(cfg, steps_per_epoch=100)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(100)), 0.01, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(1000)), 0.001, rtol=1e-4)
+
+    def test_one_step_updates_params_and_loss_decreases(self):
+        cfg = TrainConfig(imgsz=64, batch_size=2, lr0=0.01, warmup_epochs=0)
+        model = YoloSeg(arch="yolov8n-seg", num_classes=1)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                   steps_per_epoch=10)
+        step = make_train_step(model, LossConfig(mask_topk=8), cfg)
+
+        rng = np.random.default_rng(0)
+        mh = 16
+        masks = np.zeros((2, mh, mh), np.uint8)
+        masks[:, 2:10, 2:10] = 1
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)),
+            "boxes": jnp.tile(jnp.asarray([[8.0, 8, 40, 40]]), (2, 4, 1)),
+            "classes": jnp.zeros((2, 4), jnp.int32),
+            "valid": jnp.asarray(np.tile([True, False, False, False], (2, 1))),
+            "masks": jnp.asarray(masks),
+        }
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 6
+        assert all(np.isfinite(losses))
+        # Overfitting a single tiny batch must reduce the loss.
+        assert losses[-1] < losses[0]

@@ -1,0 +1,138 @@
+"""Training augmentations (host-side, numpy/cv2) operating on
+(image, polygons) pairs; polygons stay exact under the affine transforms and
+are rasterised only after all geometry is applied.
+
+Mirrors the reference training recipe (model/runs/segment/train11/args.yaml:
+mosaic 1.0, translate 0.1, scale 0.5, fliplr 0.5, hsv 0.015/0.7/0.4,
+close_mosaic 10) without copying ultralytics' implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    mosaic: float = 1.0
+    translate: float = 0.1
+    scale: float = 0.5
+    degrees: float = 0.0
+    fliplr: float = 0.5
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+
+
+def letterbox_np(img: np.ndarray, polygons: list[np.ndarray], dst: int,
+                 pad_value: int = 114) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Square letterbox on host; polygons (pixel coords) transformed alongside."""
+    import cv2
+
+    h, w = img.shape[:2]
+    r = min(dst / h, dst / w)
+    nh, nw = round(h * r), round(w * r)
+    top = (dst - nh) // 2
+    left = (dst - nw) // 2
+    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    out = np.full((dst, dst, 3), pad_value, np.uint8)
+    out[top:top + nh, left:left + nw] = resized
+    polys = [p * r + [left, top] for p in polygons]
+    return out, polys
+
+
+def random_affine(img: np.ndarray, polygons: list[np.ndarray],
+                  rng: np.random.Generator, cfg: AugmentConfig,
+                  dst: int, border: int = 0
+                  ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Random scale+translate (degrees=0 in the reference recipe)."""
+    import cv2
+
+    s = rng.uniform(1 - cfg.scale, 1 + cfg.scale)
+    tx = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * dst
+    ty = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * dst
+    cx, cy = img.shape[1] / 2, img.shape[0] / 2
+    m = np.array([[s, 0, tx - s * cx], [0, s, ty - s * cy]], np.float32)
+
+    out = cv2.warpAffine(img, m, (dst, dst), borderValue=(114, 114, 114))
+    polys = []
+    for p in polygons:
+        q = p @ m[:, :2].T + m[:, 2]
+        q = np.clip(q, 0, dst - 1e-3)
+        polys.append(q.astype(np.float32))
+    return out, polys
+
+
+def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
+               cfg: AugmentConfig) -> np.ndarray:
+    import cv2
+
+    if not (cfg.hsv_h or cfg.hsv_s or cfg.hsv_v):
+        return img
+    gains = rng.uniform(-1, 1, 3) * [cfg.hsv_h, cfg.hsv_s, cfg.hsv_v] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(256)
+    lut_h = ((x * gains[0]) % 180).astype(np.uint8)
+    lut_s = np.clip(x * gains[1], 0, 255).astype(np.uint8)
+    lut_v = np.clip(x * gains[2], 0, 255).astype(np.uint8)
+    merged = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                        cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(merged, cv2.COLOR_HSV2BGR)
+
+
+def flip_lr(img: np.ndarray, polygons: list[np.ndarray]
+            ) -> tuple[np.ndarray, list[np.ndarray]]:
+    w = img.shape[1]
+    out = np.ascontiguousarray(img[:, ::-1])
+    return out, [np.stack([w - p[:, 0], p[:, 1]], -1).astype(np.float32)
+                 for p in polygons]
+
+
+def mosaic4(images: list[np.ndarray], polys_list: list[list[np.ndarray]],
+            rng: np.random.Generator, dst: int
+            ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """4-image mosaic on a 2*dst canvas centred at a random point; the caller
+    follows with random_affine which crops back to dst."""
+    import cv2
+
+    s = dst
+    canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+    xc = int(rng.uniform(s * 0.5, s * 1.5))
+    yc = int(rng.uniform(s * 0.5, s * 1.5))
+    out_polys: list[np.ndarray] = []
+
+    for i, (img, polys) in enumerate(zip(images, polys_list)):
+        h, w = img.shape[:2]
+        r = min(s / h, s / w)
+        nh, nw = round(h * r), round(w * r)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+        if i == 0:    # top-left of centre
+            x1, y1 = max(xc - nw, 0), max(yc - nh, 0)
+            hr, wr = yc - y1, xc - x1
+            canvas[y1:yc, x1:xc] = img[nh - hr:, nw - wr:]
+            ox, oy = xc - nw, yc - nh
+        elif i == 1:  # top-right
+            x2, y1 = min(xc + nw, 2 * s), max(yc - nh, 0)
+            hr, wr = yc - y1, x2 - xc
+            canvas[y1:yc, xc:x2] = img[nh - hr:, :wr]
+            ox, oy = xc, yc - nh
+        elif i == 2:  # bottom-left
+            x1, y2 = max(xc - nw, 0), min(yc + nh, 2 * s)
+            hr, wr = y2 - yc, xc - x1
+            canvas[yc:y2, x1:xc] = img[:hr, nw - wr:]
+            ox, oy = xc - nw, yc
+        else:         # bottom-right
+            x2, y2 = min(xc + nw, 2 * s), min(yc + nh, 2 * s)
+            hr, wr = y2 - yc, x2 - xc
+            canvas[yc:y2, xc:x2] = img[:hr, :wr]
+            ox, oy = xc, yc
+
+        for p in polys:
+            q = p * r + [ox, oy]
+            q = np.clip(q, 0, 2 * s - 1e-3)
+            out_polys.append(q.astype(np.float32))
+
+    return canvas, out_polys

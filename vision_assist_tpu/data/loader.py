@@ -1,0 +1,132 @@
+"""Batch loader: augmentation + fixed-shape packing + background prefetch.
+
+Host side of the training input pipeline; the TPU step consumes fully-packed
+dense batches (images, overlap masks, padded boxes) so the jitted program
+never sees a dynamic shape. Augmentation follows the reference recipe
+(data/augment.py); rasterisation happens once, after all geometry.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from vision_assist_tpu.data.augment import (
+    AugmentConfig,
+    flip_lr,
+    hsv_jitter,
+    letterbox_np,
+    mosaic4,
+    random_affine,
+)
+from vision_assist_tpu.data.dataset import SegDataset, polygons_to_overlap_mask
+
+
+class BatchLoader:
+    def __init__(self, dataset: SegDataset, batch_size: int = 16,
+                 imgsz: int = 640, mask_ratio: int = 4,
+                 max_instances: int = 32, augment: bool = True,
+                 aug: AugmentConfig | None = None, seed: int = 0,
+                 prefetch: int = 4):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.imgsz = imgsz
+        self.mask_hw = (imgsz // mask_ratio, imgsz // mask_ratio)
+        self.max_instances = max_instances
+        self.augment = augment
+        self.aug = aug or AugmentConfig()
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.mosaic_enabled = augment and self.aug.mosaic > 0
+
+    def __len__(self) -> int:
+        return len(self.ds) // self.batch_size
+
+    # -- single sample -------------------------------------------------------------
+
+    def _sample(self, idx: int) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+        rec = self.ds.records[idx]
+        img = self.ds.load_image(idx)
+        h, w = img.shape[:2]
+        polys = [p * [w, h] for p in rec.polygons]
+        classes = list(rec.classes)
+
+        if self.augment:
+            if self.mosaic_enabled and self.rng.random() < self.aug.mosaic:
+                extra = self.rng.integers(0, len(self.ds), 3)
+                imgs, plists, clists = [img], [polys], [classes]
+                for j in extra:
+                    rj = self.ds.records[int(j)]
+                    ij = self.ds.load_image(int(j))
+                    hj, wj = ij.shape[:2]
+                    imgs.append(ij)
+                    plists.append([p * [wj, hj] for p in rj.polygons])
+                    clists.append(list(rj.classes))
+                img, polys = mosaic4(imgs, plists, self.rng, self.imgsz)
+                classes = [c for cl in clists for c in cl]
+                img, polys = random_affine(img, polys, self.rng, self.aug,
+                                           self.imgsz)
+            else:
+                img, polys = letterbox_np(img, polys, self.imgsz)
+                img, polys = random_affine(img, polys, self.rng, self.aug,
+                                           self.imgsz)
+            img = hsv_jitter(img, self.rng, self.aug)
+            if self.rng.random() < self.aug.fliplr:
+                img, polys = flip_lr(img, polys)
+        else:
+            img, polys = letterbox_np(img, polys, self.imgsz)
+
+        # Drop degenerate polygons (fully clipped away).
+        kept_polys, kept_classes = [], []
+        for p, c in zip(polys, classes):
+            x1, y1 = p.min(axis=0)
+            x2, y2 = p.max(axis=0)
+            if (x2 - x1) > 2 and (y2 - y1) > 2:
+                kept_polys.append(p)
+                kept_classes.append(c)
+        return img, kept_polys, kept_classes
+
+    def _pack(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
+        b = len(idxs)
+        s = self.imgsz
+        mh, mw = self.mask_hw
+        images = np.zeros((b, s, s, 3), np.uint8)
+        masks = np.zeros((b, mh, mw), np.uint8)
+        boxes = np.zeros((b, self.max_instances, 4), np.float32)
+        classes = np.zeros((b, self.max_instances), np.int32)
+        valid = np.zeros((b, self.max_instances), bool)
+
+        for i, idx in enumerate(idxs):
+            img, polys, cls = self._sample(int(idx))
+            images[i] = img[..., ::-1]  # BGR -> RGB
+            m, bx, cl, vd = polygons_to_overlap_mask(
+                polys, np.asarray(cls, np.int32), (s, s), (mh, mw),
+                self.max_instances)
+            masks[i], boxes[i], classes[i], valid[i] = m, bx, cl, vd
+        return {"images": images, "masks": masks, "boxes": boxes,
+                "classes": classes, "valid": valid}
+
+    # -- iteration -------------------------------------------------------------------
+
+    def epoch(self, shuffle: bool = True):
+        order = np.arange(len(self.ds))
+        if shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for bi in range(n_batches):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                q.put(self._pack(idxs))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
