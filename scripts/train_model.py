@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--eval-images", type=int, default=256)
     ap.add_argument("--out", default="runs/seg")
+    ap.add_argument("--workers", type=int, default=6)
+    ap.add_argument("--cache-images", action="store_true", default=True)
     ap.add_argument("--resume", default=None,
                     help="msgpack checkpoint to initialise params from")
     args = ap.parse_args()
@@ -63,7 +65,8 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     print("device:", jax.devices()[0], flush=True)
 
-    ds = SegDataset(args.data, "train")
+    ds = SegDataset(args.data, "train",
+                    cache_images=args.imgsz if args.cache_images else None)
     loader = BatchLoader(ds, batch_size=args.batch, imgsz=args.imgsz,
                          augment=True, seed=0)
     steps_per_epoch = len(loader)
@@ -94,7 +97,7 @@ def main() -> int:
 
         t0 = time.time()
         losses = []
-        for batch in loader.epoch():
+        for batch in loader.epoch(workers=args.workers):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step(state, batch)
             losses.append(metrics)

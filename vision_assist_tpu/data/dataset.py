@@ -41,9 +41,16 @@ def parse_label_file(path: pathlib.Path) -> tuple[list[np.ndarray], np.ndarray]:
 
 
 class SegDataset:
-    """Index of (image, polygons) records for one split."""
+    """Index of (image, polygons) records for one split.
 
-    def __init__(self, root: str | pathlib.Path, split: str = "train"):
+    ``cache_images=N`` decodes every image once (in parallel) and keeps a
+    max-side-N resized uint8 copy in RAM (~0.4 MB/image at 640), removing JPEG
+    decode from the training hot loop — mosaic batches read 4x batch_size
+    images per step.
+    """
+
+    def __init__(self, root: str | pathlib.Path, split: str = "train",
+                 cache_images: int | None = None):
         root = pathlib.Path(root)
         img_dir = root / split / "images"
         lbl_dir = root / split / "labels"
@@ -55,16 +62,39 @@ class SegDataset:
         if not self.records:
             raise FileNotFoundError(f"no images under {img_dir}")
 
+        self._cache: list[np.ndarray] | None = None
+        if cache_images:
+            import concurrent.futures
+
+            def load_resized(i: int) -> np.ndarray:
+                import cv2
+
+                img = self._read(i)
+                h, w = img.shape[:2]
+                r = cache_images / max(h, w)
+                if r < 1.0:
+                    img = cv2.resize(img, (round(w * r), round(h * r)),
+                                     interpolation=cv2.INTER_AREA)
+                return np.ascontiguousarray(img)
+
+            with concurrent.futures.ThreadPoolExecutor(16) as ex:
+                self._cache = list(ex.map(load_resized, range(len(self.records))))
+
     def __len__(self) -> int:
         return len(self.records)
 
-    def load_image(self, idx: int) -> np.ndarray:
+    def _read(self, idx: int) -> np.ndarray:
         import cv2
 
         img = cv2.imread(str(self.records[idx].image_path))
         if img is None:
             raise IOError(f"failed to read {self.records[idx].image_path}")
         return img  # BGR uint8
+
+    def load_image(self, idx: int) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache[idx]
+        return self._read(idx)
 
 
 def polygons_to_overlap_mask(polygons: list[np.ndarray], classes: np.ndarray,

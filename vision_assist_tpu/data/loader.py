@@ -46,7 +46,8 @@ class BatchLoader:
 
     # -- single sample -------------------------------------------------------------
 
-    def _sample(self, idx: int) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+    def _sample(self, idx: int, rng: np.random.Generator
+                ) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
         rec = self.ds.records[idx]
         img = self.ds.load_image(idx)
         h, w = img.shape[:2]
@@ -54,8 +55,8 @@ class BatchLoader:
         classes = list(rec.classes)
 
         if self.augment:
-            if self.mosaic_enabled and self.rng.random() < self.aug.mosaic:
-                extra = self.rng.integers(0, len(self.ds), 3)
+            if self.mosaic_enabled and rng.random() < self.aug.mosaic:
+                extra = rng.integers(0, len(self.ds), 3)
                 imgs, plists, clists = [img], [polys], [classes]
                 for j in extra:
                     rj = self.ds.records[int(j)]
@@ -64,16 +65,16 @@ class BatchLoader:
                     imgs.append(ij)
                     plists.append([p * [wj, hj] for p in rj.polygons])
                     clists.append(list(rj.classes))
-                img, polys = mosaic4(imgs, plists, self.rng, self.imgsz)
+                img, polys = mosaic4(imgs, plists, rng, self.imgsz)
                 classes = [c for cl in clists for c in cl]
-                img, polys = random_affine(img, polys, self.rng, self.aug,
+                img, polys = random_affine(img, polys, rng, self.aug,
                                            self.imgsz)
             else:
                 img, polys = letterbox_np(img, polys, self.imgsz)
-                img, polys = random_affine(img, polys, self.rng, self.aug,
+                img, polys = random_affine(img, polys, rng, self.aug,
                                            self.imgsz)
-            img = hsv_jitter(img, self.rng, self.aug)
-            if self.rng.random() < self.aug.fliplr:
+            img = hsv_jitter(img, rng, self.aug)
+            if rng.random() < self.aug.fliplr:
                 img, polys = flip_lr(img, polys)
         else:
             img, polys = letterbox_np(img, polys, self.imgsz)
@@ -88,7 +89,9 @@ class BatchLoader:
                 kept_classes.append(c)
         return img, kept_polys, kept_classes
 
-    def _pack(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
+    def _pack(self, idxs: np.ndarray,
+              rng: np.random.Generator | None = None) -> dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         b = len(idxs)
         s = self.imgsz
         mh, mw = self.mask_hw
@@ -99,7 +102,7 @@ class BatchLoader:
         valid = np.zeros((b, self.max_instances), bool)
 
         for i, idx in enumerate(idxs):
-            img, polys, cls = self._sample(int(idx))
+            img, polys, cls = self._sample(int(idx), rng)
             images[i] = img[..., ::-1]  # BGR -> RGB
             m, bx, cl, vd = polygons_to_overlap_mask(
                 polys, np.asarray(cls, np.int32), (s, s), (mh, mw),
@@ -110,21 +113,49 @@ class BatchLoader:
 
     # -- iteration -------------------------------------------------------------------
 
-    def epoch(self, shuffle: bool = True):
+    def epoch(self, shuffle: bool = True, workers: int = 4):
+        """Yield packed batches in deterministic order; packing (decode,
+        augment, rasterise) is parallelised across worker threads, each with
+        its own per-batch Generator so results don't depend on scheduling."""
         order = np.arange(len(self.ds))
         if shuffle:
             self.rng.shuffle(order)
         n_batches = len(self)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        batch_seeds = self.rng.integers(0, 2 ** 63 - 1, size=n_batches)
 
-        def worker():
-            for bi in range(n_batches):
+        results: dict[int, dict] = {}
+        next_needed = [0]
+        cond = threading.Condition()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        window = max(self.prefetch, workers) + workers
+
+        def worker(wid: int):
+            for bi in range(wid, n_batches, workers):
                 idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                q.put(self._pack(idxs))
+                packed = self._pack(idxs, np.random.default_rng(batch_seeds[bi]))
+                with cond:
+                    # Bounded reorder window relative to the flush head; the
+                    # worker holding the head batch never waits, so this
+                    # cannot deadlock.
+                    while bi - next_needed[0] >= window:
+                        cond.wait()
+                    results[bi] = packed
+                    cond.notify_all()
+
+        def flusher():
+            for bi in range(n_batches):
+                with cond:
+                    while bi not in results:
+                        cond.wait()
+                    packed = results.pop(bi)
+                    next_needed[0] = bi + 1
+                    cond.notify_all()
+                q.put(packed)  # blocks on queue backpressure
             q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        for w in range(workers):
+            threading.Thread(target=worker, args=(w,), daemon=True).start()
+        threading.Thread(target=flusher, daemon=True).start()
         while True:
             item = q.get()
             if item is None:
