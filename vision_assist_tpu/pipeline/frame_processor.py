@@ -62,13 +62,21 @@ class FrameProcessor:
         self._plan = make_plan_step(self.cfg, replay_rounding=replay_rounding)
         self.analyser = InstructionEngine(self.cfg.analyser)
         pf = self.cfg.pathfinder
-        self._exact = AStarEngine(
+        kwargs = dict(
             angle_window=pf.angle_window, angle_grace_deg=pf.angle_grace_deg,
             angle_exponent=pf.angle_exponent,
             angle_denominator=pf.angle_denominator,
             penalty_weight=pf.penalty_weight, angle_weight=pf.angle_weight,
             replicate_radians_cache_bug=pf.replicate_radians_cache_bug,
         )
+        # Exact engine: prefer the native C++ implementation (bit-identical to
+        # the numpy twin, ~40x faster); fall back when no compiler exists.
+        from vision_assist_tpu.planning import native as native_engine
+
+        if native_engine.available():
+            self._exact = native_engine.NativeAStarEngine(**kwargs)
+        else:
+            self._exact = AStarEngine(**kwargs)
 
     # -- device -> host path materialisation --------------------------------------
 
