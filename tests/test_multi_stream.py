@@ -1,0 +1,77 @@
+"""Multi-stream batched serving tests, including an 8-device CPU mesh."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from vision_assist_tpu.config import replay_config
+from vision_assist_tpu.io.scenarios import load_scenario, scenario_names
+from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
+from vision_assist_tpu.pipeline.multi_stream import MultiStreamProcessor
+
+
+def _cfg(n):
+    cfg = replay_config()
+    return cfg.replace(num_streams=n)
+
+
+class TestMultiStream:
+    def test_matches_single_stream_results(self):
+        names = ["right_turn", "left_turn", "obstacle_ahead", "insane_case"]
+        occ = np.stack([load_scenario(n) for n in names])
+        msp = MultiStreamProcessor(_cfg(4), replay_rounding=True)
+        batched = msp.process_occupancies(occ, now_ms=0)
+
+        for i, name in enumerate(names):
+            fp = FrameProcessor(_cfg(1), replay_rounding=True)
+            single = fp.process_occupancy(load_scenario(name), now_ms=0)
+            assert batched[i].final_answer == single.final_answer, name
+            assert len(batched[i].paths) == len(single.paths), name
+            np.testing.assert_array_equal(batched[i].penalty, single.penalty)
+
+    def test_per_stream_memory_is_independent(self):
+        occ = np.stack([load_scenario("sharp_right_on_path"),
+                        load_scenario("left_turn")])
+        msp = MultiStreamProcessor(_cfg(2), replay_rounding=True)
+        msp.process_occupancies(occ, now_ms=0)
+        msp.process_occupancies(occ, now_ms=400)
+        assert len(msp.analysers[0].previous_instructions) == 2
+        assert len(msp.analysers[1].previous_instructions) == 2
+        assert msp.analysers[0].previous_instructions is not \
+            msp.analysers[1].previous_instructions
+
+    def test_sharded_over_8_device_mesh(self):
+        from vision_assist_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, mdl=1)
+        names = (scenario_names() + scenario_names())[:8]
+        occ = np.stack([load_scenario(n) for n in names])
+        msp = MultiStreamProcessor(_cfg(8), mesh=mesh, replay_rounding=True)
+        results = msp.process_occupancies(occ, now_ms=0)
+        assert len(results) == 8
+        # Cross-check stream 0 against the single-stream pipeline.
+        fp = FrameProcessor(_cfg(1), replay_rounding=True)
+        single = fp.process_occupancy(occ[0], now_ms=0)
+        assert results[0].final_answer == single.final_answer
+
+    def test_batched_segmentation_chain(self):
+        from vision_assist_tpu.config import ModelConfig
+        from vision_assist_tpu.models.inference import Segmenter
+
+        cfg = _cfg(2).replace(frame_height=320, frame_width=240,
+                              model=ModelConfig(imgsz=256))
+        seg = Segmenter(cfg.model, example_hw=(320, 240),
+                        grid_size=cfg.grid.grid_size)
+        msp = MultiStreamProcessor(cfg, segmenter=seg, replay_rounding=True)
+        frames = np.random.default_rng(0).integers(
+            0, 255, (2, 320, 240, 3), dtype=np.uint8)
+        results = msp.process_frames(frames, now_ms=0)
+        assert len(results) == 2
+        for r in results:
+            assert r.final_answer in (
+                "move_left", "move_right", "continue_forward")

@@ -1,0 +1,101 @@
+"""Multi-stream serving: N camera streams in one jitted, mesh-sharded program.
+
+This is new capability with no reference counterpart (the reference is
+strictly frame-at-a-time, SURVEY.md §2.4): the stream axis is the data-parallel
+axis. One program per step runs segmentation + planning for every stream;
+with a multi-chip mesh the batch shards over 'dp' and XLA moves data over ICI.
+Per-stream temporal state (instruction memory) stays host-side and explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vision_assist_tpu.config import PipelineConfig
+from vision_assist_tpu.pipeline.frame_processor import FrameProcessor, FrameResult
+from vision_assist_tpu.pipeline.planner import make_plan_step
+from vision_assist_tpu.semantics.analyser import InstructionEngine
+
+
+class MultiStreamProcessor:
+    """Batched pipeline over `num_streams` concurrent streams.
+
+    Drives the same device programs as FrameProcessor but vmapped over the
+    stream axis; host semantics run per stream with independent memory.
+    """
+
+    def __init__(self, cfg: PipelineConfig, segmenter=None,
+                 mesh=None, replay_rounding: bool = False):
+        import jax
+
+        self.cfg = cfg
+        self.num_streams = cfg.num_streams
+        self.segmenter = segmenter
+        self.mesh = mesh
+
+        plan = make_plan_step(cfg, replay_rounding=replay_rounding)
+        self._plan_batched = jax.jit(jax.vmap(plan))
+
+        if segmenter is not None:
+            chain = segmenter._frame_chain
+            self._seg_batched = jax.jit(
+                lambda variables, frames: jax.vmap(
+                    lambda f: chain(variables, f))(frames))
+        else:
+            self._seg_batched = None
+
+        # Per-stream host state and a single shared path-materialiser.
+        self._fp = FrameProcessor(cfg, replay_rounding=replay_rounding)
+        self.analysers = [InstructionEngine(cfg.analyser)
+                          for _ in range(self.num_streams)]
+
+    def _shard(self, arr):
+        if self.mesh is None:
+            return arr
+        import jax
+        from vision_assist_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(arr, batch_sharding(self.mesh))
+
+    def process_occupancies(self, occupancies: np.ndarray,
+                            now_ms: int | Sequence[int] = 0
+                            ) -> list[FrameResult]:
+        """occupancies: (num_streams, R, C) bool."""
+        import jax.numpy as jnp
+
+        occ = np.asarray(occupancies, dtype=bool)
+        assert occ.shape[0] == self.num_streams
+        plans = self._plan_batched(self._shard(jnp.asarray(occ)))
+
+        now = ([now_ms] * self.num_streams
+               if np.isscalar(now_ms) else list(now_ms))
+        results = []
+        for s in range(self.num_streams):
+            import jax
+
+            plan_s = jax.tree.map(lambda x: x[s], plans)
+            paths, peaks = self._fp._paths_from_plan(plan_s)
+            answer = self.analysers[s](
+                self.cfg.frame_height, self.cfg.frame_width, paths, now[s])
+            results.append(FrameResult(
+                final_answer=answer, paths=paths, peaks=peaks,
+                occupancy=occ[s],
+                walkable=np.asarray(plan_s.walkable),
+                artificial=np.asarray(plan_s.artificial),
+                penalty=np.asarray(plan_s.penalty, np.float64),
+            ))
+        return results
+
+    def process_frames(self, frames: np.ndarray,
+                       now_ms: int | Sequence[int] = 0) -> list[FrameResult]:
+        """frames: (num_streams, H, W, 3) uint8 BGR."""
+        import jax.numpy as jnp
+
+        if self._seg_batched is None:
+            raise ValueError("MultiStreamProcessor built without a segmenter")
+        seg = self._seg_batched(self.segmenter.variables,
+                                self._shard(jnp.asarray(frames)))
+        return self.process_occupancies(np.asarray(seg.occupancy), now_ms)
