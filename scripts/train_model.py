@@ -12,7 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
+import faulthandler
 import json
 import pathlib
 import sys
@@ -61,6 +61,8 @@ def main() -> int:
     )
     from vision_assist_tpu.models.yolo import YoloSeg
 
+    faulthandler.dump_traceback_later(900, repeat=True)
+
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     print("device:", jax.devices()[0], flush=True)
@@ -73,8 +75,12 @@ def main() -> int:
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
                       imgsz=args.imgsz, lr0=args.lr0)
     model = YoloSeg(arch=args.arch, num_classes=1)
+    print(f"dataset cached; creating train state...", flush=True)
+    t0 = time.time()
     state = create_train_state(model, jax.random.PRNGKey(0), cfg,
                                steps_per_epoch)
+    jax.block_until_ready(state.params)
+    print(f"train state ready in {time.time() - t0:.1f}s", flush=True)
     if args.resume:
         restored = load_variables(args.resume)
         state = state.replace(

@@ -1,0 +1,104 @@
+"""Tests for IO/tooling: TTS cue assets, stage timer, scenario editor
+headless modes, visualiser colours."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+import wave
+
+import numpy as np
+
+from vision_assist_tpu.io.tts import generate_cue_assets, render_cue
+from vision_assist_tpu.io.visualiser import penalty_colour
+from vision_assist_tpu.types import FinalAnswer
+from vision_assist_tpu.utils.profiling import StageTimer
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+class TestTTS:
+    def test_generates_three_assets(self, tmp_path):
+        paths = generate_cue_assets(tmp_path)
+        assert set(paths) == {"move_left", "move_right", "continue_forward"}
+        for p in paths.values():
+            with wave.open(str(p)) as w:
+                assert w.getnchannels() == 2
+                assert w.getnframes() > 1000
+
+    def test_cues_are_distinct_and_panned(self):
+        left = render_cue(FinalAnswer.MOVE_LEFT)
+        right = render_cue(FinalAnswer.MOVE_RIGHT)
+        fwd = render_cue(FinalAnswer.CONTINUE_FORWARD)
+        # left cue louder on left channel; right cue louder on right
+        assert np.abs(left[:, 0]).sum() > np.abs(left[:, 1]).sum()
+        assert np.abs(right[:, 1]).sum() > np.abs(right[:, 0]).sum()
+        assert not np.allclose(left[: len(fwd)], fwd[: len(left)])
+
+
+class TestStageTimer:
+    def test_accumulates_and_formats(self, tmp_path):
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("yolo"):
+                pass
+            with t.stage("path_finding"):
+                pass
+            t.end_frame()
+        s = t.summary()
+        assert s["yolo"]["n"] == 3
+        out = tmp_path / "timing_data.txt"
+        t.write(out)
+        text = out.read_text()
+        assert "path_finding:" in text and "Avg:" in text and "Max:" in text
+
+    def test_outlier_frames_dropped(self):
+        import time as _time
+
+        t = StageTimer(outlier_threshold_s=0.01)
+        with t.stage("slow"):
+            _time.sleep(0.02)
+        t.end_frame()
+        with t.stage("slow"):
+            pass
+        t.end_frame()
+        assert t.summary()["slow"]["n"] == 1
+
+
+class TestScenarioEditorHeadless:
+    def test_from_ascii(self, tmp_path):
+        layout = tmp_path / "layout.txt"
+        layout.write_text("..##..\n..##..\n..##..\n")
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "scenario_editor.py"),
+             "asciicase", "--from-ascii", str(layout), "--out", str(tmp_path)],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        occ = np.load(tmp_path / "asciicase_grids.npy")
+        assert occ.shape == (3, 6)
+        assert occ.sum() == 6
+
+    def test_from_image(self, tmp_path):
+        import cv2
+
+        img = np.zeros((128, 72), np.uint8)
+        img[64:, :] = 255
+        path = tmp_path / "mask.png"
+        cv2.imwrite(str(path), img)
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "scenario_editor.py"),
+             "imgcase", "--from-image", str(path), "--rows", "64",
+             "--cols", "36", "--out", str(tmp_path)],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        occ = np.load(tmp_path / "imgcase_grids.npy")
+        assert occ.shape == (64, 36)
+        assert occ[40:].all() and not occ[:30].any()
+
+
+class TestVisualiser:
+    def test_penalty_colour_lookup(self):
+        assert penalty_colour(0.0) == (0, 255, 15)
+        assert penalty_colour(1.0) == (0, 0, 255)
+        assert penalty_colour(0.48) == (0, 163, 249)  # nearest stop 0.5
