@@ -35,6 +35,18 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--verbose", action="store_true")
     v.add_argument("--debug", action="store_true",
                    help="render + save overlay frames")
+    v.add_argument("--blur-gate", action="store_true",
+                   help="enable the Laplacian blur gate (reference default: off)")
+    v.add_argument("--timing-data-path", type=str, default=None,
+                   help="write per-stage timing_data.txt (reference profiling format)")
+
+    i = sub.add_parser("image", help="process a single image file")
+    i.add_argument("image", type=str)
+    i.add_argument("--weights", type=str, default=None)
+    i.add_argument("--arch", default="yolov8n-seg")
+    i.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
+    i.add_argument("--output", type=str, default="results/")
+    i.add_argument("--debug", action="store_true")
 
     r = sub.add_parser("replay", help="run a saved occupancy scenario")
     r.add_argument("scenario", type=str,
@@ -91,10 +103,13 @@ def run_video(args) -> int:
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
 
+    from vision_assist_tpu.config import BlurConfig
+
     cam = MockCamera(args.source, target_fps=args.camera_fps)
     cfg = PipelineConfig(frame_height=cam.frame_height,
                          frame_width=cam.frame_width)
-    cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine))
+    cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine),
+                      blur=BlurConfig(enabled=args.blur_gate))
 
     mcfg = ModelConfig(arch=args.arch)
     variables = None
@@ -110,8 +125,12 @@ def run_video(args) -> int:
     if args.debug:
         out_dir.mkdir(parents=True, exist_ok=True)
 
+    from vision_assist_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer() if args.timing_data_path else None
     frame_count = 0
     processed = 0
+    skipped = 0
     latencies = []
     try:
         while cam.isOpened():
@@ -123,7 +142,21 @@ def run_video(args) -> int:
                 continue
             t0 = time.perf_counter()
             res = fp(frame)
+            while res is None:  # blur-gated: retry next frame (main.py:78-94)
+                skipped += 1
+                ret, frame = cam.read()
+                if not ret:
+                    break
+                res = fp(frame)
+            if res is None:
+                break
             dt = time.perf_counter() - t0
+            if timer is not None:
+                with timer.stage("frame"):
+                    pass
+                timer._pending["frame"] = dt
+                timer.end_frame()
+                timer.write(args.timing_data_path)
             processed += 1
             latencies.append(dt)
             print(f"frame {frame_count}: {res.final_answer} "
@@ -141,8 +174,44 @@ def run_video(args) -> int:
         lat = np.array(latencies[1:] or latencies)  # drop compile frame
         print("\nprocessing summary:")
         print(f"  frames processed: {processed}")
+        print(f"  frames skipped (blur): {skipped}")
         print(f"  mean latency:     {lat.mean() * 1000:.1f} ms")
         print(f"  p50 latency:      {np.percentile(lat, 50) * 1000:.1f} ms")
+    return 0
+
+
+def run_image(args) -> int:
+    import cv2
+
+    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.models.inference import Segmenter
+    from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
+
+    frame = cv2.imread(args.image)
+    if frame is None:
+        print(f"cannot read {args.image}")
+        return 1
+    h, w = frame.shape[:2]
+    cfg = PipelineConfig(frame_height=h - h % 20, frame_width=w - w % 20)
+    cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine))
+    frame = frame[:cfg.frame_height, :cfg.frame_width]
+
+    variables = None
+    if args.weights:
+        from vision_assist_tpu.models.checkpoint import load_variables
+        variables = load_variables(args.weights)
+    seg = Segmenter(ModelConfig(arch=args.arch), variables=variables,
+                    example_hw=(cfg.frame_height, cfg.frame_width))
+    fp = FrameProcessor(cfg, segmenter=seg, debug=args.debug)
+    res = fp(frame)
+    print(f"final answer: {res.final_answer}")
+    print(f"paths: {len(res.paths)}; peaks: {len(res.peaks)}")
+    if args.debug and res.overlay is not None:
+        out = pathlib.Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / (pathlib.Path(args.image).stem + "_processed.png")
+        cv2.imwrite(str(path), res.overlay)
+        print(f"overlay: {path}")
     return 0
 
 
@@ -150,6 +219,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "replay":
         return run_replay(args)
+    if args.command == "image":
+        return run_image(args)
     return run_video(args)
 
 

@@ -77,6 +77,11 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
             lambda path, _: path[-1].key == "kernel", params)
 
     return optax.chain(
+        # Safety net: a single pathological batch must not poison the run.
+        optax.zero_nans(),
+        # ultralytics clips the global grad norm at 10 before stepping;
+        # without it bf16 from-scratch training explodes to NaN in epoch 1.
+        optax.clip_by_global_norm(10.0),
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.sgd(lr_schedule(cfg, steps_per_epoch),
                   momentum=cfg.momentum, nesterov=True),

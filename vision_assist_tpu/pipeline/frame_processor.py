@@ -169,12 +169,25 @@ class FrameProcessor:
         return result
 
     def __call__(self, frame_bgr: np.ndarray,
-                 now_ms: int | None = None) -> FrameResult:
-        """Full pipeline: segmentation + planning + analysis on one frame."""
+                 now_ms: int | None = None) -> FrameResult | None:
+        """Full pipeline: segmentation + planning + analysis on one frame.
+
+        Returns None for frames rejected by the blur gate (when enabled —
+        the reference's gate is FrameProcessor.py:44-48, disabled by default
+        at :314-319; the driver then retries the next frame, main.py:78-94).
+        """
         if self.segmenter is None:
             raise ValueError(
                 "FrameProcessor was built without a segmenter; use "
                 "process_occupancy() for replay mode or pass a Segmenter.")
+        if self.cfg.blur.enabled:
+            import jax.numpy as jnp
+
+            from vision_assist_tpu.ops.blur import laplacian_variance
+
+            if float(laplacian_variance(jnp.asarray(frame_bgr))) \
+                    < self.cfg.blur.laplacian_var_threshold:
+                return None
         seg = self.segmenter(frame_bgr)
         return self.process_occupancy(
             np.asarray(seg.occupancy), now_ms=now_ms, frame=frame_bgr)
