@@ -98,6 +98,13 @@ class PathFinderConfig:
     # "fixed" deterministic semantics (degrees always) — documented deviation.
     replicate_radians_cache_bug: bool = True
 
+    # Turn-cost weight for the WAVEFRONT engine. The reference's selected
+    # paths pay zero angle penalty (the window term only steers exploration;
+    # see PARITY.md) — their costs are exactly dist*(1+0.5*penalty). A tiny
+    # epsilon turn cost reproduces the smoothness tie-breaking without ever
+    # outweighing real cost differences; 1e-4 maximises fixture agreement
+    # (12/13 end-to-end answers) while staying ~33 f32 ulps above rounding.
+    wavefront_turn_weight: float = 1e-4
     # Static padding for the fixed-shape TPU pathfinder.
     max_path_len: int = 512
     # Which engine the pipeline uses. "exact" = host A* twin (numpy / C++ native),

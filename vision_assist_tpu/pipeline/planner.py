@@ -78,7 +78,8 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False):
         paths = find_paths(
             walkable, penalty, start, goals, peaks.valid,
             grid_size=g, max_len=pf.max_path_len,
-            penalty_weight=pf.penalty_weight, angle_weight=pf.angle_weight,
+            penalty_weight=pf.penalty_weight,
+            angle_weight=pf.wavefront_turn_weight,
             angle_grace_deg=pf.angle_grace_deg,
             angle_exponent=pf.angle_exponent,
             angle_denominator=pf.angle_denominator,
