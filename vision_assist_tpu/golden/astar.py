@@ -23,8 +23,6 @@ import math
 
 import numpy as np
 
-from vision_assist_tpu.types import Coordinate
-
 
 def closest_cell_to_point(walkable: np.ndarray, point_xy: tuple[int, int],
                           grid_size: int = 20) -> tuple[int, int] | None:

@@ -7,8 +7,6 @@ validator; mask IoU is scored at prototype resolution (mask_ratio 4).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

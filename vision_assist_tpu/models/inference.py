@@ -18,7 +18,6 @@ those pixels (see ops/letterbox.py:sample_mask_logits_at_points).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax

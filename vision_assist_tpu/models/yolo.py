@@ -18,7 +18,6 @@ YOLO11n swaps C2f for C3k2 and appends C2PSA attention after SPPF.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

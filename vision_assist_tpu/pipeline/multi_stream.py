@@ -9,8 +9,7 @@ Per-stream temporal state (instruction memory) stays host-side and explicit.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

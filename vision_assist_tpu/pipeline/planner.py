@@ -11,7 +11,6 @@ YOLO-bypass pattern, run_on_main.py:147-201).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
