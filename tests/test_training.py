@@ -170,3 +170,44 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         # Overfitting a single tiny batch must reduce the loss.
         assert losses[-1] < losses[0]
+
+
+class TestCheckpointResume:
+    def test_full_train_state_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vision_assist_tpu.models.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+
+        cfg = TrainConfig(imgsz=64, batch_size=2, warmup_epochs=0)
+        model = YoloSeg(arch="yolov8n-seg", num_classes=1)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg, 10)
+        step = make_train_step(model, LossConfig(mask_topk=8), cfg)
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "images": jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3),
+                                               dtype=np.uint8)),
+            "boxes": jnp.tile(jnp.asarray([[8.0, 8, 40, 40]]), (2, 4, 1)),
+            "classes": jnp.zeros((2, 4), jnp.int32),
+            "valid": jnp.asarray(np.tile([True, False, False, False], (2, 1))),
+            "masks": jnp.asarray(np.zeros((2, 16, 16), np.uint8)),
+        }
+        state, _ = step(state, batch)
+        state, _ = step(state, batch)
+        save_train_state(tmp_path / "ckpt", state)
+
+        fresh = create_train_state(model, jax.random.PRNGKey(1), cfg, 10)
+        restored = load_train_state(tmp_path / "ckpt", fresh)
+        assert int(restored.step) == 2
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Resumed training continues deterministically.
+        s1, m1 = step(state, batch)
+        s2, m2 = step(restored, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
