@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable the Laplacian blur gate (reference default: off)")
     v.add_argument("--timing-data-path", type=str, default=None,
                    help="write per-stage timing_data.txt (reference profiling format)")
+    v.add_argument("--tts-dir", type=str, default=None,
+                   help="pre-render per-answer audio cues here and report the "
+                        "cue for each processed frame (reference TTS path)")
 
     i = sub.add_parser("image", help="process a single image file")
     i.add_argument("image", type=str)
@@ -127,6 +130,12 @@ def run_video(args) -> int:
 
     from vision_assist_tpu.utils.profiling import StageTimer
 
+    cues = None
+    if args.tts_dir:
+        from vision_assist_tpu.io.tts import generate_cue_assets
+        cues = generate_cue_assets(args.tts_dir)
+        print(f"audio cues: {args.tts_dir}")
+
     timer = StageTimer() if args.timing_data_path else None
     frame_count = 0
     processed = 0
@@ -159,8 +168,9 @@ def run_video(args) -> int:
                 timer.write(args.timing_data_path)
             processed += 1
             latencies.append(dt)
+            cue = f" [cue: {cues[res.final_answer]}]" if cues else ""
             print(f"frame {frame_count}: {res.final_answer} "
-                  f"({dt * 1000:.1f} ms)")
+                  f"({dt * 1000:.1f} ms){cue}")
             if args.debug and res.overlay is not None:
                 import cv2
                 cv2.imwrite(str(out_dir / f"frame_{processed:04d}.png"),
