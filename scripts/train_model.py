@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--cache-images", action="store_true", default=True)
     ap.add_argument("--resume", default=None,
                     help="msgpack checkpoint to initialise params from")
+    ap.add_argument("--resume-state", default=None,
+                    help="orbax TrainState checkpoint for EXACT resume "
+                         "(params+EMA+optimizer+step)")
+    ap.add_argument("--save-state-every", type=int, default=0,
+                    help="save a full TrainState checkpoint every N epochs")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +96,11 @@ def main() -> int:
             batch_stats=serialization.from_state_dict(state.batch_stats,
                                                       restored["batch_stats"]))
         print(f"resumed params from {args.resume}", flush=True)
+    if args.resume_state:
+        from vision_assist_tpu.models.checkpoint import load_train_state
+        state = load_train_state(args.resume_state, state)
+        print(f"resumed full train state from {args.resume_state} "
+              f"(step {int(state.step)})", flush=True)
 
     step = make_train_step(model, LossConfig(), cfg)
     history = []
@@ -137,6 +147,9 @@ def main() -> int:
                                 "batch_stats": state.batch_stats})
         history.append(record)
         (out / "history.json").write_text(json.dumps(history, indent=1))
+        if args.save_state_every and (epoch + 1) % args.save_state_every == 0:
+            from vision_assist_tpu.models.checkpoint import save_train_state
+            save_train_state(out / "state", state)
         save_variables(out / "last.msgpack",
                        {"params": state.ema_params,
                         "batch_stats": state.batch_stats})
