@@ -152,17 +152,22 @@ class AStarEngine:
 
             closed.add(current)
 
+            # Only walkable cells have outgoing edges (the reference's graph
+            # keys are non-empty cells, FrameProcessor.py:187-190); empty
+            # cells can still be RELAXED below — grid_lookup.get() is truthy
+            # for empty Grid objects (FrameProcessor.py:203) — and those
+            # dead-end relaxations matter: they WARM THE ANGLE CACHE, which
+            # changes later edge costs in radians-cache mode. Skipping them
+            # diverges (found by differential fuzzing, seeds 2/8).
+            ccell = (current[1] // grid_size, current[0] // grid_size)
+            if current != start and not walkable[ccell[0], ccell[1]]:
+                continue
+
             cx, cy = current
             for dx, dy in steps:
                 nxt = (cx + dx, cy + dy)
                 nc, nr = nxt[0] // grid_size, nxt[1] // grid_size
                 if not (0 <= nr < rows and 0 <= nc < cols):
-                    continue
-                # The reference's graph only carries edges out of walkable
-                # cells, and edges into empty cells are dead ends that cannot
-                # appear inside a returned path (see SURVEY.md §2.1 graph
-                # builder); skipping them here leaves results unchanged.
-                if not walkable[nr, nc]:
                     continue
                 if nxt in closed:
                     continue

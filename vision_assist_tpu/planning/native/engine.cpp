@@ -237,6 +237,13 @@ int va_find_path(const uint8_t* walkable, const double* penalty,
         }
         closed[ci] = 1;
 
+        // Only walkable cells expand (the reference's graph keys are
+        // non-empty cells); empty cells are still relaxed below because
+        // grid_lookup.get() is truthy for empty grids (FrameProcessor.py:203)
+        // and those dead-end relaxations warm the angle cache, which changes
+        // later costs in radians-cache mode (differential-fuzz finding).
+        if (!walkable[ci]) continue;
+
         // Path so far (current first after reverse) — PathFinder.py:156-162.
         path_so_far.clear();
         { int node = ci;
@@ -253,7 +260,7 @@ int va_find_path(const uint8_t* walkable, const double* penalty,
             const int nr = ny / grid_size, nc2 = nx / grid_size;
             if (nr >= rows || nc2 >= cols) continue;
             const int ni = idx_of(nr, nc2);
-            if (!walkable[ni] || closed[ni]) continue;
+            if (closed[ni]) continue;
 
             path_so_far.emplace_back(nx, ny);
             const double max_angle = max_window_angle(path_so_far, p, cache);
