@@ -44,6 +44,13 @@ def main() -> int:
                          "(params+EMA+optimizer+step)")
     ap.add_argument("--save-state-every", type=int, default=0,
                     help="save a full TrainState checkpoint every N epochs")
+    ap.add_argument("--sync-every", type=int, default=8,
+                    help="block on device results every N steps (bounds the "
+                         "async queue; this TPU relay stalls when hundreds of "
+                         "executions are in flight)")
+    ap.add_argument("--watchdog-secs", type=int, default=600,
+                    help="abort (exit 42) if no step completes for this long; "
+                         "scripts/train_supervised.sh restarts + resumes")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +74,20 @@ def main() -> int:
     from vision_assist_tpu.models.yolo import YoloSeg
 
     faulthandler.dump_traceback_later(900, repeat=True)
+
+    import os
+    import threading
+    progress = {"t": time.time()}
+
+    def watchdog():
+        while True:
+            time.sleep(30)
+            if time.time() - progress["t"] > args.watchdog_secs:
+                print(f"WATCHDOG: no progress for {args.watchdog_secs}s, "
+                      "aborting for supervised restart", flush=True)
+                os._exit(42)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -104,20 +125,29 @@ def main() -> int:
 
     step = make_train_step(model, LossConfig(), cfg)
     history = []
-    best_map = -1.0
+    if (out / "history.json").exists():
+        history = json.loads((out / "history.json").read_text())
+    best_map = max((h.get("map50_mask", -1.0) for h in history), default=-1.0)
+    start_epoch = int(state.step) // max(steps_per_epoch, 1)
+    if start_epoch:
+        print(f"continuing at epoch {start_epoch + 1}", flush=True)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         if args.epochs - epoch == args.close_mosaic and loader.mosaic_enabled:
             loader.mosaic_enabled = False
             print("mosaic closed", flush=True)
 
         t0 = time.time()
         losses = []
-        for batch in loader.epoch(workers=args.workers):
+        for si, batch in enumerate(loader.epoch(workers=args.workers)):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step(state, batch)
             losses.append(metrics)
+            if (si + 1) % args.sync_every == 0:
+                jax.block_until_ready(metrics["loss"])
+                progress["t"] = time.time()
         jax.block_until_ready(losses[-1]["loss"])
+        progress["t"] = time.time()
         mean = {k: float(np.mean([float(m[k]) for m in losses]))
                 for k in losses[0]}
         dt = time.time() - t0
