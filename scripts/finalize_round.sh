@@ -1,0 +1,34 @@
+#!/bin/bash
+# End-of-round finalisation: stop training, promote the best checkpoint,
+# run the full validation eval, and run the benchmark.
+#
+# Usage: scripts/finalize_round.sh [runs/v8n_640]
+set -x
+OUT="${1:-runs/v8n_640}"
+
+pkill -f train_supervised.sh
+pkill -f train_model.py
+sleep 5
+
+mkdir -p assets/weights
+SRC="$OUT/best.msgpack"
+[ -f "$SRC" ] || SRC="$OUT/last.msgpack"
+cp "$SRC" assets/weights/v8n_640_best.msgpack
+ls -la assets/weights/
+
+python - <<'EOF'
+import json
+from vision_assist_tpu.utils.cache import enable; enable()
+from vision_assist_tpu.models.checkpoint import load_variables
+from vision_assist_tpu.models.evaluate import evaluate
+from vision_assist_tpu.models.yolo import YoloSeg
+
+variables = load_variables("assets/weights/v8n_640_best.msgpack")
+model = YoloSeg(arch="yolov8n-seg", num_classes=1)
+m = evaluate(model, variables, "/root/reference/model", "valid",
+             imgsz=640, batch_size=16, verbose=True)
+print("FULL VAL:", json.dumps(m))
+open("TRAINING_RESULTS.json", "w").write(json.dumps(m, indent=1))
+EOF
+
+python bench.py | tee BENCH_LOCAL.json
