@@ -97,6 +97,7 @@ def main() -> None:
         "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 2),
         "batched_seg_fps_4streams": round(batched_fps, 2),
         "weights": "trained" if WEIGHTS.exists() else "random-init",
+        "engine": cfg.pathfinder.engine,
         "device": str(device),
         "frames": n,
     }))

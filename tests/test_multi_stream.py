@@ -15,7 +15,12 @@ from vision_assist_tpu.pipeline.multi_stream import MultiStreamProcessor
 
 def _cfg(n):
     cfg = replay_config()
-    return cfg.replace(num_streams=n)
+    # The batched server always plans with the on-chip wavefront engine; pin
+    # the single-stream comparison to the same engine (the single-stream
+    # default is the exact host engine).
+    return cfg.replace(
+        num_streams=n,
+        pathfinder=cfg.pathfinder.__class__(engine="wavefront"))
 
 
 class TestMultiStream:

@@ -107,9 +107,14 @@ class PathFinderConfig:
     wavefront_turn_weight: float = 1e-4
     # Static padding for the fixed-shape TPU pathfinder.
     max_path_len: int = 512
-    # Which engine the pipeline uses. "exact" = host A* twin (numpy / C++ native),
-    # bit-matching the reference algorithm; "wavefront" = on-chip batched search.
-    engine: Literal["exact", "wavefront"] = "wavefront"
+    # Which engine the pipeline uses. "exact" = host A* twin (C++ native when a
+    # compiler exists, numpy otherwise), bit-matching the reference algorithm;
+    # "wavefront" = on-chip batched search (the only vmappable engine — the
+    # multi-stream server always uses it). Default "exact": on the 36x64
+    # lattice the native engine plans in 0.3-1.6 ms/frame, so single-stream
+    # serving gets bit-parity with the reference at no latency cost, and the
+    # device plan step skips the wavefront relaxation entirely.
+    engine: Literal["exact", "wavefront"] = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

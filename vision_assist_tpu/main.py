@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--camera-fps", type=float, default=30.0)
     v.add_argument("--every-n", type=int, default=15,
                    help="process every Nth frame (reference main.py:70)")
-    v.add_argument("--engine", choices=["wavefront", "exact"], default="wavefront")
+    v.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
     v.add_argument("--arch", default="yolov8n-seg")
     v.add_argument("--verbose", action="store_true")
     v.add_argument("--debug", action="store_true",

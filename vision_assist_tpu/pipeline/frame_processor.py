@@ -59,7 +59,9 @@ class FrameProcessor:
         self.cfg = cfg or PipelineConfig()
         self.segmenter = segmenter
         self.debug = debug
-        self._plan = make_plan_step(self.cfg, replay_rounding=replay_rounding)
+        self._plan = make_plan_step(
+            self.cfg, replay_rounding=replay_rounding,
+            include_paths=self.cfg.pathfinder.engine != "exact")
         self.analyser = InstructionEngine(self.cfg.analyser)
         pf = self.cfg.pathfinder
         kwargs = dict(
@@ -104,11 +106,22 @@ class FrameProcessor:
         if cfg.pathfinder.engine == "exact":
             # Bit-parity mode: recompute the penalty field in float64 on the
             # host so costs match the reference exactly (the device field is
-            # float32).
-            from vision_assist_tpu.golden.lattice import penalty_field as pf64
-            penalty = pf64(walkable,
-                           saturation_threshold=cfg.penalty.saturation_threshold,
-                           dominance_gain=cfg.penalty.dominance_gain)
+            # float32). Prefer the native implementation (bit-equal, faster).
+            from vision_assist_tpu.planning.native import (
+                available as native_available,
+                native_penalty_field,
+            )
+            if native_available():
+                penalty = native_penalty_field(
+                    walkable,
+                    saturation_threshold=cfg.penalty.saturation_threshold,
+                    dominance_gain=cfg.penalty.dominance_gain)
+            else:
+                from vision_assist_tpu.golden.lattice import penalty_field as pf64
+                penalty = pf64(
+                    walkable,
+                    saturation_threshold=cfg.penalty.saturation_threshold,
+                    dominance_gain=cfg.penalty.dominance_gain)
             start = closest_cell_to_point(
                 walkable, (cfg.frame_width // 2, cfg.frame_height), g)
             for peak in peaks:

@@ -34,7 +34,7 @@ class PlanResult:
     penalty: jax.Array      # (R, C) f32
     peaks: PeakSet
     start_rc: jax.Array     # (2,) int32
-    paths: PathBatch
+    paths: PathBatch | None  # None when built with include_paths=False
 
     def tree_flatten(self):
         return ((self.walkable, self.artificial, self.penalty, self.peaks,
@@ -45,10 +45,15 @@ class PlanResult:
         return cls(*children)
 
 
-def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False):
+def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False,
+                   include_paths: bool = True):
     """Build the jitted planning function for a fixed config.
 
     Returned fn: occupancy (R, C) bool -> PlanResult. Batch with jax.vmap.
+
+    include_paths=False omits the wavefront relaxation (PlanResult.paths is
+    None) — used when the pipeline plans with the exact host engine, so the
+    device program only produces the fields/peaks it actually consumes.
     """
     g = cfg.grid.grid_size
     pf = cfg.pathfinder
@@ -74,15 +79,17 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False):
         goals = jax.vmap(
             lambda x, y: closest_walkable_cell(walkable, jnp.stack([x, y]), g)
         )(peaks.centre_x, peaks.centre_y)
-        paths = find_paths(
-            walkable, penalty, start, goals, peaks.valid,
-            grid_size=g, max_len=pf.max_path_len,
-            penalty_weight=pf.penalty_weight,
-            angle_weight=pf.wavefront_turn_weight,
-            angle_grace_deg=pf.angle_grace_deg,
-            angle_exponent=pf.angle_exponent,
-            angle_denominator=pf.angle_denominator,
-        )
+        paths = None
+        if include_paths:
+            paths = find_paths(
+                walkable, penalty, start, goals, peaks.valid,
+                grid_size=g, max_len=pf.max_path_len,
+                penalty_weight=pf.penalty_weight,
+                angle_weight=pf.wavefront_turn_weight,
+                angle_grace_deg=pf.angle_grace_deg,
+                angle_exponent=pf.angle_exponent,
+                angle_denominator=pf.angle_denominator,
+            )
         return PlanResult(walkable=walkable, artificial=artificial,
                           penalty=penalty, peaks=peaks, start_rc=start,
                           paths=paths)
