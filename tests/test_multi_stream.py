@@ -37,6 +37,25 @@ class TestMultiStream:
             assert len(batched[i].paths) == len(single.paths), name
             np.testing.assert_array_equal(batched[i].penalty, single.penalty)
 
+    def test_exact_engine_batched_matches_reference_parity(self):
+        """With engine="exact" the batched server plans per stream with the
+        native A* (own angle cache per stream) — answers must equal the
+        bit-parity single-stream results on EVERY fixture, including the one
+        the wavefront diverges on (insane_case)."""
+        names = scenario_names()
+        cfg = replay_config().replace(num_streams=len(names))
+        occ = np.stack([load_scenario(n) for n in names])
+        msp = MultiStreamProcessor(cfg, replay_rounding=True)
+        batched = msp.process_occupancies(occ, now_ms=0)
+        for i, name in enumerate(names):
+            fp = FrameProcessor(replay_config(), replay_rounding=True)
+            single = fp.process_occupancy(load_scenario(name), now_ms=0)
+            assert batched[i].final_answer == single.final_answer, name
+            assert [[c.row, c.col] for p in batched[i].paths
+                    for c in p.cells] == \
+                   [[c.row, c.col] for p in single.paths
+                    for c in p.cells], name
+
     def test_per_stream_memory_is_independent(self):
         occ = np.stack([load_scenario("sharp_right_on_path"),
                         load_scenario("left_turn")])

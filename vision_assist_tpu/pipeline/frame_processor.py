@@ -63,6 +63,15 @@ class FrameProcessor:
             self.cfg, replay_rounding=replay_rounding,
             include_paths=self.cfg.pathfinder.engine != "exact")
         self.analyser = InstructionEngine(self.cfg.analyser)
+        # Exact engine: prefer the native C++ implementation (bit-identical to
+        # the numpy twin, ~40x faster); fall back when no compiler exists.
+        self._exact = self._make_exact_engine()
+
+    # -- device -> host path materialisation --------------------------------------
+
+    def _make_exact_engine(self):
+        """A fresh exact engine with its own cross-frame angle cache — one per
+        stream, mirroring the reference's per-process PathFinder singleton."""
         pf = self.cfg.pathfinder
         kwargs = dict(
             angle_window=pf.angle_window, angle_grace_deg=pf.angle_grace_deg,
@@ -71,18 +80,14 @@ class FrameProcessor:
             penalty_weight=pf.penalty_weight, angle_weight=pf.angle_weight,
             replicate_radians_cache_bug=pf.replicate_radians_cache_bug,
         )
-        # Exact engine: prefer the native C++ implementation (bit-identical to
-        # the numpy twin, ~40x faster); fall back when no compiler exists.
         from vision_assist_tpu.planning import native as native_engine
 
         if native_engine.available():
-            self._exact = native_engine.NativeAStarEngine(**kwargs)
-        else:
-            self._exact = AStarEngine(**kwargs)
+            return native_engine.NativeAStarEngine(**kwargs)
+        return AStarEngine(**kwargs)
 
-    # -- device -> host path materialisation --------------------------------------
-
-    def _paths_from_plan(self, plan) -> tuple[list[AnalysedPath], list[Peak]]:
+    def _paths_from_plan(self, plan, exact_engine=None
+                         ) -> tuple[list[AnalysedPath], list[Peak]]:
         cfg = self.cfg
         g = cfg.grid.grid_size
         penalty = np.asarray(plan.penalty, np.float64)
@@ -129,7 +134,7 @@ class FrameProcessor:
                     walkable, peak.centre.to_tuple(), g)
                 if start is None or goal is None:
                     continue
-                rc, cost = self._exact.find_path(
+                rc, cost = (exact_engine or self._exact).find_path(
                     walkable, penalty, start, goal, g)
                 if rc:
                     raw.append(build_path(

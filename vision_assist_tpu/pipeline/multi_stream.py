@@ -35,7 +35,8 @@ class MultiStreamProcessor:
         self.segmenter = segmenter
         self.mesh = mesh
 
-        plan = make_plan_step(cfg, replay_rounding=replay_rounding)
+        plan = make_plan_step(cfg, replay_rounding=replay_rounding,
+                              include_paths=cfg.pathfinder.engine != "exact")
         self._plan_batched = jax.jit(jax.vmap(plan))
 
         if segmenter is not None:
@@ -46,10 +47,23 @@ class MultiStreamProcessor:
         else:
             self._seg_batched = None
 
-        # Per-stream host state and a single shared path-materialiser.
+        # Per-stream host state and a single shared path-materialiser. Exact
+        # engines carry a cross-frame angle cache (the reference's PathFinder
+        # singleton state) — one per stream, like the per-stream analysers.
         self._fp = FrameProcessor(cfg, replay_rounding=replay_rounding)
         self.analysers = [InstructionEngine(cfg.analyser)
                           for _ in range(self.num_streams)]
+        self._exact_engines = None
+        self._pool = None
+        if cfg.pathfinder.engine == "exact":
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._exact_engines = [self._fp._make_exact_engine()
+                                   for _ in range(self.num_streams)]
+            # The native engine releases the GIL during its ctypes call, so
+            # per-stream host planning (~0.3-1.6 ms each) overlaps.
+            self._pool = ThreadPoolExecutor(max_workers=min(
+                self.num_streams, 8))
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -71,12 +85,25 @@ class MultiStreamProcessor:
 
         now = ([now_ms] * self.num_streams
                if np.isscalar(now_ms) else list(now_ms))
+        import jax
+
+        plan_list = [jax.tree.map(lambda x: x[s], plans)
+                     for s in range(self.num_streams)]
+
+        def paths_for(s):
+            engine = self._exact_engines[s] if self._exact_engines else None
+            return self._fp._paths_from_plan(plan_list[s], exact_engine=engine)
+
+        if self._pool is not None:
+            per_stream = list(self._pool.map(paths_for,
+                                             range(self.num_streams)))
+        else:
+            per_stream = [paths_for(s) for s in range(self.num_streams)]
+
         results = []
         for s in range(self.num_streams):
-            import jax
-
-            plan_s = jax.tree.map(lambda x: x[s], plans)
-            paths, peaks = self._fp._paths_from_plan(plan_s)
+            plan_s = plan_list[s]
+            paths, peaks = per_stream[s]
             answer = self.analysers[s](
                 self.cfg.frame_height, self.cfg.frame_width, paths, now[s])
             results.append(FrameResult(
