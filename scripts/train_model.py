@@ -77,13 +77,18 @@ def main() -> int:
 
     import os
     import threading
-    progress = {"t": time.time()}
+    # Startup (dataset caching + train-state init + first remote compile,
+    # which alone can take 15 min on this relay) must not trip the stall
+    # watchdog: run with a generous limit until the first step completes,
+    # then tighten to --watchdog-secs. Restarting during startup would loop
+    # forever since the compile cache does not persist across processes.
+    progress = {"t": time.time(), "limit": max(args.watchdog_secs, 2400)}
 
     def watchdog():
         while True:
             time.sleep(30)
-            if time.time() - progress["t"] > args.watchdog_secs:
-                print(f"WATCHDOG: no progress for {args.watchdog_secs}s, "
+            if time.time() - progress["t"] > progress["limit"]:
+                print(f"WATCHDOG: no progress for {progress['limit']}s, "
                       "aborting for supervised restart", flush=True)
                 os._exit(42)
 
@@ -146,6 +151,7 @@ def main() -> int:
             if (si + 1) % args.sync_every == 0:
                 jax.block_until_ready(metrics["loss"])
                 progress["t"] = time.time()
+                progress["limit"] = args.watchdog_secs
         jax.block_until_ready(losses[-1]["loss"])
         progress["t"] = time.time()
         mean = {k: float(np.mean([float(m[k]) for m in losses]))
@@ -163,9 +169,15 @@ def main() -> int:
         if (epoch + 1) % args.eval_every == 0 or is_last:
             ema_vars = freeze({"params": state.ema_params,
                                "batch_stats": state.batch_stats})
+            # The eval program is a separate remote compile (can take 15 min
+            # the first time) — widen the stall limit for its duration.
+            progress["t"] = time.time()
+            progress["limit"] = max(args.watchdog_secs, 2400)
             m = evaluate(model, ema_vars, args.data, "valid",
                          imgsz=args.imgsz,
                          max_images=None if is_last else args.eval_images)
+            progress["t"] = time.time()
+            progress["limit"] = args.watchdog_secs
             print(f"  val: mAP50(M)={m['map50_mask']:.4f} "
                   f"mAP50-95(M)={m['map50_95_mask']:.4f} "
                   f"mAP50(B)={m['map50_box']:.4f}", flush=True)
