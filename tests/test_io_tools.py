@@ -53,6 +53,33 @@ class TestStageTimer:
         text = out.read_text()
         assert "path_finding:" in text and "Avg:" in text and "Max:" in text
 
+    def test_samples_json_and_boxplot_tool(self, tmp_path):
+        import json
+        import os
+
+        t = StageTimer()
+        for _ in range(4):
+            with t.stage("penalty_calculations"):
+                pass
+            with t.stage("path_finding"):
+                pass
+            t.end_frame()
+        samples = tmp_path / "samples.json"
+        timing = tmp_path / "timing_data.txt"
+        t.write_samples(samples)
+        t.write(timing)
+        assert len(json.loads(samples.read_text())["path_finding"]) == 4
+
+        out = tmp_path / "plot.png"
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        r = subprocess.run(
+            [sys.executable, str(repo / "tools" / "plot_timing.py"),
+             str(samples), str(timing), "-o", str(out)],
+            capture_output=True, text=True,
+            env={**os.environ, "PALLAS_AXON_POOL_IPS": ""})
+        assert r.returncode == 0, r.stderr
+        assert out.exists() and out.stat().st_size > 0
+
     def test_outlier_frames_dropped(self):
         import time as _time
 

@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--engine", choices=["wavefront", "exact"],
                     default="wavefront")
     ap.add_argument("--timing-data-path", default="timing_data.txt")
+    ap.add_argument("--samples-path", default=None,
+                    help="also dump raw per-frame samples as JSON "
+                         "(input for tools/plot_timing.py box plots)")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +126,9 @@ def main() -> int:
 
     timer.write(args.timing_data_path)
     print(f"wrote {args.timing_data_path}")
+    if args.samples_path:
+        timer.write_samples(args.samples_path)
+        print(f"wrote {args.samples_path}")
     for name, s in timer.summary().items():
         print(f"  {name:22s} avg {s['avg']*1000:8.3f} ms   "
               f"max {s['max']*1000:8.3f} ms")

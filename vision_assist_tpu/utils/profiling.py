@@ -62,6 +62,14 @@ class StageTimer:
             lines.append(f"    Max: {s['max']}")
         pathlib.Path(path).write_text("\n".join(lines) + "\n")
 
+    def write_samples(self, path: str | pathlib.Path) -> None:
+        """Raw per-frame samples as JSON — richer than the reference's
+        aggregate artifact; consumed by tools/plot_timing.py for the box-plot
+        view (twin of images/profiling_21_02/plot.py)."""
+        import json
+
+        pathlib.Path(path).write_text(json.dumps(dict(self.samples)))
+
 
 @contextlib.contextmanager
 def device_trace(log_dir: str | pathlib.Path):
