@@ -107,6 +107,11 @@ class PathFinderConfig:
     wavefront_turn_weight: float = 1e-4
     # Static padding for the fixed-shape TPU pathfinder.
     max_path_len: int = 512
+    # Run the wavefront relaxation as the fused Pallas kernel
+    # (ops/pallas_wavefront.py) instead of the XLA while_loop. The kernel
+    # keeps the whole sweep loop in VMEM — wins when per-iteration dispatch
+    # dominates. Off by default pending real-chip latency validation.
+    use_pallas_relax: bool = False
     # Which engine the pipeline uses. "exact" = host A* twin (C++ native when a
     # compiler exists, numpy otherwise), bit-matching the reference algorithm;
     # "wavefront" = on-chip batched search (the only vmappable engine — the

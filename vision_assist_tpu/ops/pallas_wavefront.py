@@ -85,8 +85,14 @@ def relax_pallas(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
                  angle_weight: float = 1e-4, angle_grace_deg: float = 30.0,
                  angle_exponent: float = 1.5, angle_denominator: float = 90.0,
                  max_sweeps: int | None = None, check_every: int = 32,
-                 interpret: bool = False) -> jax.Array:
-    """Drop-in replacement for planning.wavefront.relax (same output field)."""
+                 interpret: bool | None = None) -> jax.Array:
+    """Drop-in replacement for planning.wavefront.relax (same output field).
+
+    interpret=None auto-selects: compiled kernel on TPU, interpreter
+    elsewhere (CPU tests / virtual-device meshes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     rows, cols = walkable.shape
     turn = jnp.asarray(
         _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)

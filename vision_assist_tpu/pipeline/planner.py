@@ -89,6 +89,7 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False,
                 angle_grace_deg=pf.angle_grace_deg,
                 angle_exponent=pf.angle_exponent,
                 angle_denominator=pf.angle_denominator,
+                use_pallas=pf.use_pallas_relax,
             )
         return PlanResult(walkable=walkable, artificial=artificial,
                           penalty=penalty, peaks=peaks, start_rc=start,

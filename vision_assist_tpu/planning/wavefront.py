@@ -207,19 +207,30 @@ def backtrace(dist: jax.Array, walkable: jax.Array, start_rc: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_size", "max_len", "penalty_weight", "angle_weight",
-    "angle_grace_deg", "angle_exponent", "angle_denominator"))
+    "angle_grace_deg", "angle_exponent", "angle_denominator", "use_pallas"))
 def find_paths(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
                goals_rc: jax.Array, goals_valid: jax.Array,
                *, grid_size: int = 20, max_len: int = 512,
                penalty_weight: float = 0.5, angle_weight: float = 1.5,
                angle_grace_deg: float = 30.0, angle_exponent: float = 1.5,
-               angle_denominator: float = 90.0) -> PathBatch:
+               angle_denominator: float = 90.0,
+               use_pallas: bool = False) -> PathBatch:
     """Paths from one start to K goal cells sharing a single relaxation."""
-    dist = relax(
-        walkable, penalty, start_rc, grid_size=grid_size,
-        penalty_weight=penalty_weight, angle_weight=angle_weight,
-        angle_grace_deg=angle_grace_deg, angle_exponent=angle_exponent,
-        angle_denominator=angle_denominator)
+    if use_pallas:
+        # Lazy import: ops.pallas_wavefront imports from this module.
+        from vision_assist_tpu.ops.pallas_wavefront import relax_pallas
+
+        dist = relax_pallas(
+            walkable, penalty, start_rc, grid_size=grid_size,
+            penalty_weight=penalty_weight, angle_weight=angle_weight,
+            angle_grace_deg=angle_grace_deg, angle_exponent=angle_exponent,
+            angle_denominator=angle_denominator)
+    else:
+        dist = relax(
+            walkable, penalty, start_rc, grid_size=grid_size,
+            penalty_weight=penalty_weight, angle_weight=angle_weight,
+            angle_grace_deg=angle_grace_deg, angle_exponent=angle_exponent,
+            angle_denominator=angle_denominator)
 
     def one(goal, gvalid):
         cells, length, cost, valid = backtrace(
