@@ -7,14 +7,15 @@ Prints ONE JSON line:
 Baseline: the reference pipeline runs ~0.24 s/frame (~4.2 FPS) after its own
 optimisation passes (BASELINE.md, images/profiling_21_02/optimisation_3_*).
 
-Measured per frame on one chip:
-  letterbox -> YOLOv8n-seg forward (bf16) -> NMS -> mask decode -> occupancy
-  -> artificial cells -> penalty field -> peaks -> wavefront pathfinding
-  (device), then path materialisation + sectioning + instruction synthesis
-  (host). Planning runs on a real scenario lattice so the wavefront iteration
-  count is representative regardless of the model weights. Uses the trained
-  checkpoint in assets/weights/ when present (random init otherwise — the
-  compute cost is identical). Also reports batched multi-stream throughput.
+Measured per frame on one chip, with the DEFAULT engine (exact): letterbox
+-> YOLOv8n-seg forward (bf16) -> NMS -> mask decode -> occupancy ->
+artificial cells -> penalty field -> peaks (device), then native C++ A*
+planning + path materialisation + sectioning + instruction synthesis (host).
+The "engine" key in the output records which planner ran. Planning runs on a
+real scenario lattice so the search workload is representative regardless of
+the model weights. Uses the trained checkpoint in assets/weights/ when
+present (random init otherwise — the compute cost is identical). Also
+reports batched multi-stream segmentation throughput.
 """
 
 from __future__ import annotations

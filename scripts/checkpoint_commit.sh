@@ -13,6 +13,15 @@ while true; do
   [ -f "$SRC" ] || SRC="$OUT/last.msgpack"
   [ -f "$SRC" ] || continue
   cp "$SRC" assets/weights/v8n_640_best.msgpack.tmp
+  # Never commit a torn snapshot: verify the copy parses as msgpack (the
+  # writer may not be atomic in older trainer processes).
+  if ! PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
+from flax import serialization
+serialization.msgpack_restore(open('assets/weights/v8n_640_best.msgpack.tmp','rb').read())
+" 2>/dev/null; then
+    rm -f assets/weights/v8n_640_best.msgpack.tmp
+    continue
+  fi
   if ! cmp -s assets/weights/v8n_640_best.msgpack.tmp assets/weights/v8n_640_best.msgpack 2>/dev/null; then
     mv assets/weights/v8n_640_best.msgpack.tmp assets/weights/v8n_640_best.msgpack
     [ -f "$OUT/history.json" ] && cp "$OUT/history.json" assets/weights/history.json

@@ -82,13 +82,17 @@ def main() -> int:
     # watchdog: run with a generous limit until the first step completes,
     # then tighten to --watchdog-secs. Restarting during startup would loop
     # forever since the compile cache does not persist across processes.
-    progress = {"t": time.time(), "limit": max(args.watchdog_secs, 2400)}
+    # Single-slot (timestamp, limit) tuple: rebinding one dict value is atomic
+    # under the GIL, so the watchdog never pairs a stale timestamp with a
+    # freshly-tightened limit.
+    progress = {"mark": (time.time(), max(args.watchdog_secs, 2400))}
 
     def watchdog():
         while True:
             time.sleep(30)
-            if time.time() - progress["t"] > progress["limit"]:
-                print(f"WATCHDOG: no progress for {progress['limit']}s, "
+            t, limit = progress["mark"]
+            if time.time() - t > limit:
+                print(f"WATCHDOG: no progress for {limit}s, "
                       "aborting for supervised restart", flush=True)
                 os._exit(42)
 
@@ -150,10 +154,9 @@ def main() -> int:
             losses.append(metrics)
             if (si + 1) % args.sync_every == 0:
                 jax.block_until_ready(metrics["loss"])
-                progress["t"] = time.time()
-                progress["limit"] = args.watchdog_secs
+                progress["mark"] = (time.time(), args.watchdog_secs)
         jax.block_until_ready(losses[-1]["loss"])
-        progress["t"] = time.time()
+        progress["mark"] = (time.time(), args.watchdog_secs)
         mean = {k: float(np.mean([float(m[k]) for m in losses]))
                 for k in losses[0]}
         dt = time.time() - t0
@@ -171,13 +174,11 @@ def main() -> int:
                                "batch_stats": state.batch_stats})
             # The eval program is a separate remote compile (can take 15 min
             # the first time) — widen the stall limit for its duration.
-            progress["t"] = time.time()
-            progress["limit"] = max(args.watchdog_secs, 2400)
+            progress["mark"] = (time.time(), max(args.watchdog_secs, 2400))
             m = evaluate(model, ema_vars, args.data, "valid",
                          imgsz=args.imgsz,
                          max_images=None if is_last else args.eval_images)
-            progress["t"] = time.time()
-            progress["limit"] = args.watchdog_secs
+            progress["mark"] = (time.time(), args.watchdog_secs)
             print(f"  val: mAP50(M)={m['map50_mask']:.4f} "
                   f"mAP50-95(M)={m['map50_95_mask']:.4f} "
                   f"mAP50(B)={m['map50_box']:.4f}", flush=True)

@@ -14,13 +14,15 @@ from vision_assist_tpu.pipeline.multi_stream import MultiStreamProcessor
 
 
 def _cfg(n):
+    import dataclasses
+
     cfg = replay_config()
-    # The batched server always plans with the on-chip wavefront engine; pin
-    # the single-stream comparison to the same engine (the single-stream
-    # default is the exact host engine).
+    # These tests exercise the on-chip wavefront path of the batched server
+    # (the default is the exact host engine); pin the single-stream
+    # comparison to the same engine.
     return cfg.replace(
         num_streams=n,
-        pathfinder=cfg.pathfinder.__class__(engine="wavefront"))
+        pathfinder=dataclasses.replace(cfg.pathfinder, engine="wavefront"))
 
 
 class TestMultiStream:

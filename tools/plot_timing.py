@@ -84,8 +84,13 @@ def main() -> int:
         data = [[x * scale for x in run.get(stage, [])]
                 for _, run in datasets]
         labels = [name for name, _ in datasets]
-        ax.boxplot([d or [0.0] for d in data], tick_labels=labels,
-                   showfliers=False)
+        # whis=(0, 100): whiskers span the full min..max. This keeps the
+        # degenerate 5-number summaries from timing_data.txt meaningful (their
+        # IQR is zero, so default whiskers would collapse to the average) and
+        # shows the full spread for real sample sets. A stage absent from a
+        # run plots as an empty slot (NaN), never as a fabricated zero.
+        ax.boxplot([d if d else [float("nan")] for d in data],
+                   tick_labels=labels, showfliers=False, whis=(0, 100))
         ax.set_title(stage, fontsize=8)
         ax.tick_params(axis="x", labelrotation=45, labelsize=7)
         ax.tick_params(axis="y", labelsize=7)

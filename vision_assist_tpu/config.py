@@ -114,11 +114,12 @@ class PathFinderConfig:
     use_pallas_relax: bool = False
     # Which engine the pipeline uses. "exact" = host A* twin (C++ native when a
     # compiler exists, numpy otherwise), bit-matching the reference algorithm;
-    # "wavefront" = on-chip batched search (the only vmappable engine — the
-    # multi-stream server always uses it). Default "exact": on the 36x64
-    # lattice the native engine plans in 0.3-1.6 ms/frame, so single-stream
-    # serving gets bit-parity with the reference at no latency cost, and the
-    # device plan step skips the wavefront relaxation entirely.
+    # "wavefront" = fully-on-chip batched search. Default "exact" for both the
+    # single-stream pipeline and the multi-stream server (one engine per
+    # stream, threaded): on the 36x64 lattice the native engine plans in
+    # 0.3-1.6 ms/frame, so serving gets bit-parity with the reference at no
+    # latency cost, and the device plan step skips the wavefront relaxation
+    # entirely.
     engine: Literal["exact", "wavefront"] = "exact"
 
 

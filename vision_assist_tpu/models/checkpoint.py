@@ -17,8 +17,12 @@ from flax import serialization
 def save_variables(path: str | pathlib.Path, variables: Any) -> None:
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.msgpack_serialize(
+    # Atomic write (tmp + rename): concurrent readers (e.g. the checkpoint
+    # snapshot committer) must never observe a torn file.
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(
         serialization.to_state_dict(variables)))
+    tmp.replace(path)
 
 
 def load_variables(path: str | pathlib.Path) -> Any:

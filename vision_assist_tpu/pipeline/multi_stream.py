@@ -65,6 +65,17 @@ class MultiStreamProcessor:
             self._pool = ThreadPoolExecutor(max_workers=min(
                 self.num_streams, 8))
 
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _shard(self, arr):
         if self.mesh is None:
             return arr
