@@ -7,6 +7,8 @@ set -x
 OUT="${1:-runs/v8n_640}"
 
 pkill -f train_supervised.sh
+pkill -f babysit_trainer.sh
+pkill -f checkpoint_commit.sh
 pkill -f train_model.py
 sleep 5
 
@@ -32,3 +34,12 @@ open("TRAINING_RESULTS.json", "w").write(json.dumps(m, indent=1))
 EOF
 
 python bench.py | tee BENCH_LOCAL.json
+
+# Per-stage timing artifact on the real chip (reference timing_data.txt
+# format + raw samples for the box-plot tool).
+python tools/profile_pipeline.py --frames 40 --engine exact \
+    --timing-data-path timing_data_tpu.txt \
+    --samples-path timing_samples_tpu.json || true
+python tools/profile_pipeline.py --frames 40 --engine wavefront \
+    --timing-data-path timing_data_tpu_wavefront.txt \
+    --samples-path timing_samples_tpu_wavefront.json || true
