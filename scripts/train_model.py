@@ -189,7 +189,11 @@ def main() -> int:
                                {"params": state.ema_params,
                                 "batch_stats": state.batch_stats})
         history.append(record)
-        (out / "history.json").write_text(json.dumps(history, indent=1))
+        # tmp+rename: a concurrent reader (checkpoint snapshotter, resume)
+        # must never see a torn half-written JSON.
+        tmp = out / "history.json.tmp"
+        tmp.write_text(json.dumps(history, indent=1))
+        tmp.replace(out / "history.json")
         if args.save_state_every and (epoch + 1) % args.save_state_every == 0:
             from vision_assist_tpu.models.checkpoint import save_train_state
             save_train_state(out / "state", state)

@@ -80,6 +80,26 @@ class TestStageTimer:
         assert r.returncode == 0, r.stderr
         assert out.exists() and out.stat().st_size > 0
 
+    def test_load_run_accepts_reference_average_key(self, tmp_path):
+        """The reference's archived timing_data.txt files write 'Average:'
+        (FrameProcessor_with_time_saving.py:404-416); ours write 'Avg:'.
+        Both must parse with the box centred on the average, not 0."""
+        import importlib.util
+
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        spec = importlib.util.spec_from_file_location(
+            "plot_timing", repo / "tools" / "plot_timing.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        ref_style = tmp_path / "timing_data.txt"
+        ref_style.write_text(
+            "Timing Data (nanoseconds)\n=======================\n\n"
+            "yolo_prediction:\n  Average: 0.04\n  Last: 0.0625\n"
+            "  Min: 0.03125\n  Max: 0.0625\n")
+        run = mod.load_run(ref_style)
+        assert run["yolo_prediction"] == [0.03125, 0.04, 0.04, 0.04, 0.0625]
+
     def test_outlier_frames_dropped(self):
         import time as _time
 

@@ -35,9 +35,11 @@ def load_run(path: pathlib.Path) -> dict[str, list[float]]:
 
     def flush():
         if stage and stats:
-            # Degenerate 5-number summary: [min, avg, avg, avg, max].
-            runs[stage] = [stats.get("min", 0.0), stats.get("avg", 0.0),
-                           stats.get("avg", 0.0), stats.get("avg", 0.0),
+            # Degenerate 5-number summary: [min, avg, avg, avg, max]. Our
+            # profiler writes "Avg:"; the reference's archived artifacts
+            # write "Average:" — accept both.
+            avg = stats.get("avg", stats.get("average", 0.0))
+            runs[stage] = [stats.get("min", 0.0), avg, avg, avg,
                            stats.get("max", 0.0)]
 
     for line in text.splitlines():

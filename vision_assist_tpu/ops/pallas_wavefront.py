@@ -88,8 +88,13 @@ def relax_pallas(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
                  interpret: bool | None = None) -> jax.Array:
     """Drop-in replacement for planning.wavefront.relax (same output field).
 
-    interpret=None auto-selects: compiled kernel on TPU, interpreter
-    elsewhere (CPU tests / virtual-device meshes).
+    interpret=None auto-selects from the PROCESS DEFAULT backend: compiled
+    Mosaic kernel when that is TPU, interpreter elsewhere (CPU tests /
+    virtual-device meshes). Caveat: the decision is made at trace time from
+    ``jax.default_backend()``, not from where the caller actually placed the
+    computation — if you jit this onto CPU while TPU is the process default
+    (or vice versa), pass ``interpret`` explicitly, e.g.
+    ``interpret=(device.platform != "tpu")`` for the device you run on.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
