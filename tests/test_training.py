@@ -71,6 +71,75 @@ class TestData:
         for p in out:
             assert (p >= 0).all() and (p < 320).all()
 
+    def test_device_hsv_matches_cv2_host(self):
+        """The on-device HSV jitter (data/augment_device.py) must reproduce
+        the host cv2 LUT transform (data/augment.py hsv_jitter) up to uint8
+        LUT quantisation."""
+        cv2 = pytest.importorskip("cv2")
+        from vision_assist_tpu.data.augment import hsv_jitter
+        from vision_assist_tpu.data.augment_device import hsv_jitter_rgb
+
+        rng = np.random.default_rng(3)
+        img_bgr = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        gains = np.array([1.01, 1.3, 0.8], np.float32)
+
+        class _FixedRng:
+            def uniform(self, lo, hi, n):
+                # reproduce augment.hsv_jitter's gains = u*[h,s,v]+1
+                cfg_scale = np.array([0.015, 0.7, 0.4])
+                return (gains - 1) / cfg_scale
+
+        host_bgr = hsv_jitter(img_bgr, _FixedRng(), AugmentConfig())
+        host_rgb = host_bgr[..., ::-1].astype(np.float32) / 255.0
+
+        dev_rgb = np.asarray(hsv_jitter_rgb(
+            jnp.asarray(img_bgr[None, ..., ::-1], jnp.float32) / 255.0,
+            jnp.asarray(gains[None])))[0]
+
+        diff = np.abs(dev_rgb - host_rgb)
+        # cv2 quantises H to 180 uint8 bins and S/V to 256; allow a few
+        # pixels at hue-sector boundaries to differ by a bin or two.
+        assert np.mean(diff) < 0.01, np.mean(diff)
+        assert np.quantile(diff, 0.99) < 0.05
+
+    def test_hsv_unity_gains_noop(self):
+        from vision_assist_tpu.data.augment_device import hsv_jitter_rgb
+
+        rng = np.random.default_rng(0)
+        img = rng.random((2, 8, 8, 3), np.float32)
+        out = np.asarray(hsv_jitter_rgb(jnp.asarray(img),
+                                        jnp.ones((2, 3), jnp.float32)))
+        np.testing.assert_allclose(out, img, atol=1e-5)
+
+    def test_pack_contract_bgr_flip_gains(self, tmp_path):
+        """_pack ships BGR images, polygon-flip matches the image flip flag,
+        and hsv_gains ride the batch."""
+        cv2 = pytest.importorskip("cv2")
+        from vision_assist_tpu.data.dataset import SegDataset
+        from vision_assist_tpu.data.loader import BatchLoader
+
+        (tmp_path / "train" / "images").mkdir(parents=True)
+        (tmp_path / "train" / "labels").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            img = np.zeros((64, 64, 3), np.uint8)
+            img[:, :, 0] = 200  # strongly blue in BGR
+            cv2.imwrite(str(tmp_path / "train" / "images" / f"i{i}.jpg"), img)
+            # an off-centre square so a flip visibly moves it
+            (tmp_path / "train" / "labels" / f"i{i}.txt").write_text(
+                "0 0.1 0.1 0.4 0.1 0.4 0.4 0.1 0.4\n")
+        ds = SegDataset(tmp_path, "train")
+        loader = BatchLoader(ds, batch_size=4, imgsz=64, augment=True, seed=0)
+        batch = loader._pack(np.arange(4), np.random.default_rng(5))
+        assert batch["hsv_gains"].shape == (4, 3)
+        assert (batch["hsv_gains"] != 1).any()  # gains actually drawn
+        # BGR convention: blue channel (index 0) dominates where not padding
+        img0 = batch["images"][0]
+        content = img0[(img0 != 114).any(-1)]
+        if len(content):
+            assert content[:, 0].astype(int).sum() >= \
+                content[:, 2].astype(int).sum()
+
 
 class TestLosses:
     def test_ciou_perfect_overlap(self):

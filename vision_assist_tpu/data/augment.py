@@ -36,7 +36,8 @@ def letterbox_np(img: np.ndarray, polygons: list[np.ndarray], dst: int,
     nh, nw = round(h * r), round(w * r)
     top = (dst - nh) // 2
     left = (dst - nw) // 2
-    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    resized = (img if (nh, nw) == (h, w)
+               else cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR))
     out = np.full((dst, dst, 3), pad_value, np.uint8)
     out[top:top + nh, left:left + nw] = resized
     polys = [p * r + [left, top] for p in polygons]
@@ -82,12 +83,16 @@ def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
     return cv2.cvtColor(merged, cv2.COLOR_HSV2BGR)
 
 
+def flip_polys(polygons: list[np.ndarray], w: int) -> list[np.ndarray]:
+    """Mirror polygons about the vertical centre of a width-w image."""
+    return [np.stack([w - p[:, 0], p[:, 1]], -1).astype(np.float32)
+            for p in polygons]
+
+
 def flip_lr(img: np.ndarray, polygons: list[np.ndarray]
             ) -> tuple[np.ndarray, list[np.ndarray]]:
-    w = img.shape[1]
-    out = np.ascontiguousarray(img[:, ::-1])
-    return out, [np.stack([w - p[:, 0], p[:, 1]], -1).astype(np.float32)
-                 for p in polygons]
+    return np.ascontiguousarray(img[:, ::-1]), flip_polys(polygons,
+                                                          img.shape[1])
 
 
 def mosaic4(images: list[np.ndarray], polys_list: list[list[np.ndarray]],
@@ -107,7 +112,8 @@ def mosaic4(images: list[np.ndarray], polys_list: list[list[np.ndarray]],
         h, w = img.shape[:2]
         r = min(s / h, s / w)
         nh, nw = round(h * r), round(w * r)
-        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if (nh, nw) != (h, w):
+            img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
 
         if i == 0:    # top-left of centre
             x1, y1 = max(xc - nw, 0), max(yc - nh, 0)

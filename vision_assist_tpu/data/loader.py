@@ -1,9 +1,16 @@
-"""Batch loader: augmentation + fixed-shape packing + background prefetch.
+"""Batch loader: geometry augmentation + fixed-shape packing + prefetch.
 
 Host side of the training input pipeline; the TPU step consumes fully-packed
 dense batches (images, overlap masks, padded boxes) so the jitted program
 never sees a dynamic shape. Augmentation follows the reference recipe
 (data/augment.py); rasterisation happens once, after all geometry.
+
+Split of work (single-core host, idle chip):
+  host   — geometry only: mosaic placement, scale+translate affine, polygon
+           transforms, mask rasterisation. Packed images are **BGR uint8**.
+  device — photometrics: BGR->RGB reorder + per-image HSV jitter, fused into
+           the train step via the packed ``hsv_gains`` (B, 3) array
+           (data/augment_device.py).
 """
 
 from __future__ import annotations
@@ -15,8 +22,7 @@ import numpy as np
 
 from vision_assist_tpu.data.augment import (
     AugmentConfig,
-    flip_lr,
-    hsv_jitter,
+    flip_polys,
     letterbox_np,
     mosaic4,
     random_affine,
@@ -47,12 +53,22 @@ class BatchLoader:
     # -- single sample -------------------------------------------------------------
 
     def _sample(self, idx: int, rng: np.random.Generator
-                ) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+                ) -> tuple[np.ndarray, list[np.ndarray], list[int],
+                           bool, np.ndarray]:
+        """One augmented sample. Returns (image BGR — unflipped, polygons —
+        flip already applied, classes, flip flag, hsv gains).
+
+        Photometric work (HSV jitter, channel order, the pixel flip) runs
+        on-device inside the train step (data/augment_device.py); the host
+        does only geometry, keeping the single-core loader off the critical
+        path."""
         rec = self.ds.records[idx]
         img = self.ds.load_image(idx)
         h, w = img.shape[:2]
         polys = [p * [w, h] for p in rec.polygons]
         classes = list(rec.classes)
+        flip = False
+        gains = np.ones(3, np.float32)
 
         if self.augment:
             if self.mosaic_enabled and rng.random() < self.aug.mosaic:
@@ -73,9 +89,12 @@ class BatchLoader:
                 img, polys = letterbox_np(img, polys, self.imgsz)
                 img, polys = random_affine(img, polys, rng, self.aug,
                                            self.imgsz)
-            img = hsv_jitter(img, rng, self.aug)
+            gains = (rng.uniform(-1, 1, 3)
+                     * [self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v]
+                     + 1).astype(np.float32)
             if rng.random() < self.aug.fliplr:
-                img, polys = flip_lr(img, polys)
+                flip = True
+                polys = flip_polys(polys, img.shape[1])
         else:
             img, polys = letterbox_np(img, polys, self.imgsz)
 
@@ -87,7 +106,7 @@ class BatchLoader:
             if (x2 - x1) > 2 and (y2 - y1) > 2:
                 kept_polys.append(p)
                 kept_classes.append(c)
-        return img, kept_polys, kept_classes
+        return img, kept_polys, kept_classes, flip, gains
 
     def _pack(self, idxs: np.ndarray,
               rng: np.random.Generator | None = None) -> dict[str, np.ndarray]:
@@ -101,15 +120,20 @@ class BatchLoader:
         classes = np.zeros((b, self.max_instances), np.int32)
         valid = np.zeros((b, self.max_instances), bool)
 
+        hsv_gains = np.ones((b, 3), np.float32)
         for i, idx in enumerate(idxs):
-            img, polys, cls = self._sample(int(idx), rng)
-            images[i] = img[..., ::-1]  # BGR -> RGB
+            img, polys, cls, flip, gains = self._sample(int(idx), rng)
+            # Images stay BGR; the train step flips channels on-device along
+            # with the HSV jitter. The lr-flip is one strided copy here
+            # (polygons were already flipped in _sample).
+            images[i] = img[:, ::-1] if flip else img
+            hsv_gains[i] = gains
             m, bx, cl, vd = polygons_to_overlap_mask(
                 polys, np.asarray(cls, np.int32), (s, s), (mh, mw),
                 self.max_instances)
             masks[i], boxes[i], classes[i], valid[i] = m, bx, cl, vd
         return {"images": images, "masks": masks, "boxes": boxes,
-                "classes": classes, "valid": valid}
+                "classes": classes, "valid": valid, "hsv_gains": hsv_gains}
 
     # -- iteration -------------------------------------------------------------------
 

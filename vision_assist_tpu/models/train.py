@@ -108,6 +108,14 @@ def make_train_step(model: YoloSeg, loss_cfg: LossConfig, cfg: TrainConfig):
 
     def step_fn(state: TrainState, batch):
         images = batch["images"].astype(jnp.float32) / 255.0
+        if "hsv_gains" in batch:
+            # Device-side photometric augmentation (data/augment_device.py):
+            # the loader ships BGR uint8 + per-image HSV gains; channel
+            # reorder + jitter fuse into the input normalisation here,
+            # keeping the single-core host loader geometry-only.
+            from vision_assist_tpu.data.augment_device import hsv_jitter_rgb
+
+            images = hsv_jitter_rgb(images[..., ::-1], batch["hsv_gains"])
 
         def loss_fn(params):
             out, mut = model.apply(
