@@ -72,3 +72,73 @@ class TestTemporalState:
         fp = FrameProcessor(_replay_cfg("exact"))
         with pytest.raises(ValueError, match="segmenter"):
             fp(np.zeros((1280, 720, 3), np.uint8))
+
+
+class TestFusedFrameProgram:
+    """The fused one-program/one-transfer path (pipeline/frame_program.py)
+    must produce the same results as the two-program path (Segmenter then
+    process_occupancy) for both engines."""
+
+    @pytest.fixture(scope="class")
+    def seg_and_frame(self):
+        from vision_assist_tpu.config import ModelConfig
+        from vision_assist_tpu.models.inference import Segmenter
+
+        seg = Segmenter(ModelConfig(imgsz=64), example_hw=(320, 240))
+        frame = np.full((320, 240, 3), 30, np.uint8)
+        frame[60:310, 80:160] = 180
+        return seg, frame
+
+    @staticmethod
+    def _cfg(engine):
+        cfg = PipelineConfig(frame_height=320, frame_width=240)
+        return cfg.replace(
+            pathfinder=cfg.pathfinder.__class__(engine=engine))
+
+    @pytest.mark.parametrize("engine", ["exact", "wavefront"])
+    def test_fused_matches_two_program_path(self, seg_and_frame, engine):
+        seg, frame = seg_and_frame
+        cfg = self._cfg(engine)
+
+        fp_fused = FrameProcessor(cfg, segmenter=seg)
+        res_fused = fp_fused(frame, now_ms=0)
+
+        fp_ref = FrameProcessor(cfg, segmenter=seg)
+        occ = np.asarray(seg(frame).occupancy)
+        res_ref = fp_ref.process_occupancy(occ, now_ms=0)
+
+        assert res_fused.final_answer == res_ref.final_answer
+        np.testing.assert_array_equal(res_fused.occupancy, res_ref.occupancy)
+        np.testing.assert_array_equal(res_fused.walkable, res_ref.walkable)
+        np.testing.assert_array_equal(res_fused.artificial,
+                                      res_ref.artificial)
+        assert [(p.centre.x, p.centre.y, p.orientation)
+                for p in res_fused.peaks] == \
+               [(p.centre.x, p.centre.y, p.orientation)
+                for p in res_ref.peaks]
+        assert len(res_fused.paths) == len(res_ref.paths)
+        for a, b in zip(res_fused.paths, res_ref.paths):
+            assert [(c.row, c.col) for c in a.cells] == \
+                   [(c.row, c.col) for c in b.cells]
+        if engine == "wavefront":
+            # Both report the device f32 penalty field.
+            np.testing.assert_allclose(res_fused.penalty, res_ref.penalty,
+                                       rtol=1e-6)
+
+    def test_submit_retire_pipelining(self, seg_and_frame):
+        seg, frame = seg_and_frame
+        fp = FrameProcessor(self._cfg("exact"), segmenter=seg)
+        handles = [fp.submit_frame(frame) for _ in range(3)]
+        answers = [fp.retire_frame(h, now_ms=i * 500).final_answer
+                   for i, h in enumerate(handles)]
+        assert all(a in ("move_left", "move_right", "continue_forward")
+                   for a in answers)
+
+    def test_blur_gate_via_payload(self, seg_and_frame):
+        from vision_assist_tpu.config import BlurConfig
+
+        seg, frame = seg_and_frame
+        cfg = self._cfg("exact").replace(
+            blur=BlurConfig(enabled=True, laplacian_var_threshold=1e9))
+        fp = FrameProcessor(cfg, segmenter=seg)
+        assert fp(frame, now_ms=0) is None  # everything is "blurry"

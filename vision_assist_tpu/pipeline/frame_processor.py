@@ -66,6 +66,12 @@ class FrameProcessor:
         # Exact engine: prefer the native C++ implementation (bit-identical to
         # the numpy twin, ~40x faster); fall back when no compiler exists.
         self._exact = self._make_exact_engine()
+        # Fused per-frame device program (segmentation + planning in ONE
+        # jitted call returning ONE packed vector — pipeline/frame_program.py)
+        # for the full-frame path; built lazily on first use.
+        self._fused = None
+        self._unpack = None
+        self._replay_rounding = replay_rounding
 
     # -- device -> host path materialisation --------------------------------------
 
@@ -88,48 +94,65 @@ class FrameProcessor:
 
     def _paths_from_plan(self, plan, exact_engine=None
                          ) -> tuple[list[AnalysedPath], list[Peak]]:
+        """Device plan pytree -> host paths. Pulls leaves (device syncs) and
+        delegates to the numpy core; the fused path avoids these per-leaf
+        transfers entirely (see process_payload)."""
+        paths, peaks, _ = self._paths_from_arrays(
+            walkable=np.asarray(plan.walkable),
+            artificial=np.asarray(plan.artificial),
+            peaks=plan.peaks,
+            penalty_f32=(None if self.cfg.pathfinder.engine == "exact"
+                         else np.asarray(plan.penalty, np.float64)),
+            paths_batch=plan.paths,
+            exact_engine=exact_engine)
+        return paths, peaks
+
+    def _host_penalty(self, walkable: np.ndarray) -> np.ndarray:
+        """Bit-parity float64 penalty field (native, falls back to numpy)."""
+        cfg = self.cfg
+        from vision_assist_tpu.planning.native import (
+            available as native_available,
+            native_penalty_field,
+        )
+        if native_available():
+            return native_penalty_field(
+                walkable,
+                saturation_threshold=cfg.penalty.saturation_threshold,
+                dominance_gain=cfg.penalty.dominance_gain)
+        from vision_assist_tpu.golden.lattice import penalty_field as pf64
+        return pf64(walkable,
+                    saturation_threshold=cfg.penalty.saturation_threshold,
+                    dominance_gain=cfg.penalty.dominance_gain)
+
+    def _paths_from_arrays(self, walkable: np.ndarray, artificial: np.ndarray,
+                           peaks, penalty_f32, paths_batch, exact_engine=None
+                           ) -> tuple[list[AnalysedPath], list[Peak], np.ndarray]:
+        """Numpy core of the host half: peak objects + A*/wavefront path
+        materialisation + sectioning. Returns (paths, peaks, penalty) where
+        penalty is the field actually used for costs (float64 host recompute
+        in exact mode — the reference's arithmetic is float64 throughout)."""
         cfg = self.cfg
         g = cfg.grid.grid_size
-        penalty = np.asarray(plan.penalty, np.float64)
-        artificial = np.asarray(plan.artificial)
-        walkable = np.asarray(plan.walkable)
 
-        peaks = []
-        n_peaks = int(plan.peaks.valid.sum())
+        peak_objs = []
+        n_peaks = int(np.asarray(peaks.valid).sum())
         for i in range(n_peaks):
-            peaks.append(Peak(
-                centre=Coordinate(int(plan.peaks.centre_x[i]),
-                                  int(plan.peaks.centre_y[i])),
-                left=Coordinate(int(plan.peaks.left_x[i]),
-                                int(plan.peaks.centre_y[i])),
-                right=Coordinate(int(plan.peaks.right_x[i]),
-                                 int(plan.peaks.centre_y[i])),
-                orientation=("up", "left", "right")[int(plan.peaks.orientation[i])],
+            peak_objs.append(Peak(
+                centre=Coordinate(int(peaks.centre_x[i]),
+                                  int(peaks.centre_y[i])),
+                left=Coordinate(int(peaks.left_x[i]),
+                                int(peaks.centre_y[i])),
+                right=Coordinate(int(peaks.right_x[i]),
+                                 int(peaks.centre_y[i])),
+                orientation=("up", "left", "right")[int(peaks.orientation[i])],
             ))
 
         raw: list[AnalysedPath] = []
         if cfg.pathfinder.engine == "exact":
-            # Bit-parity mode: recompute the penalty field in float64 on the
-            # host so costs match the reference exactly (the device field is
-            # float32). Prefer the native implementation (bit-equal, faster).
-            from vision_assist_tpu.planning.native import (
-                available as native_available,
-                native_penalty_field,
-            )
-            if native_available():
-                penalty = native_penalty_field(
-                    walkable,
-                    saturation_threshold=cfg.penalty.saturation_threshold,
-                    dominance_gain=cfg.penalty.dominance_gain)
-            else:
-                from vision_assist_tpu.golden.lattice import penalty_field as pf64
-                penalty = pf64(
-                    walkable,
-                    saturation_threshold=cfg.penalty.saturation_threshold,
-                    dominance_gain=cfg.penalty.dominance_gain)
+            penalty = self._host_penalty(walkable)
             start = closest_cell_to_point(
                 walkable, (cfg.frame_width // 2, cfg.frame_height), g)
-            for peak in peaks:
+            for peak in peak_objs:
                 goal = closest_cell_to_point(
                     walkable, peak.centre.to_tuple(), g)
                 if start is None or goal is None:
@@ -143,7 +166,8 @@ class FrameProcessor:
                         merge_below=cfg.sections.merge_below_cells,
                         sharp_angle_deg=cfg.sections.sharp_angle_deg))
         else:
-            pb = plan.paths
+            penalty = np.asarray(penalty_f32, np.float64)
+            pb = paths_batch
             for i in range(n_peaks):
                 if not bool(pb.valid[i]):
                     continue
@@ -156,7 +180,8 @@ class FrameProcessor:
                     merge_below=cfg.sections.merge_below_cells,
                     sharp_angle_deg=cfg.sections.sharp_angle_deg))
 
-        return deduplicate_paths(raw, cfg.dedup.similarity_threshold), peaks
+        return (deduplicate_paths(raw, cfg.dedup.similarity_threshold),
+                peak_objs, penalty)
 
     # -- entry points ---------------------------------------------------------------
 
@@ -186,26 +211,73 @@ class FrameProcessor:
                 self.cfg, result, frame=frame)
         return result
 
+    # -- fused full-frame path (one dispatch, one fetch per frame) ------------------
+
+    def _ensure_fused(self):
+        if self._fused is None:
+            import jax
+
+            from vision_assist_tpu.pipeline.frame_program import (
+                make_frame_program,
+            )
+
+            device_fn, self._unpack = make_frame_program(
+                self.cfg, self.segmenter,
+                replay_rounding=self._replay_rounding)
+            self._fused = jax.jit(device_fn)
+
+    def submit_frame(self, frame_bgr: np.ndarray):
+        """Dispatch the fused device program for one frame WITHOUT waiting.
+
+        Returns an opaque handle; pass it to retire_frame() to fetch and
+        finish on the host. Keeping 2+ frames in flight overlaps the relay
+        round trip with chip compute (the throughput path; per-frame latency
+        is still one round trip)."""
+        if self.segmenter is None:
+            raise ValueError(
+                "FrameProcessor was built without a segmenter; use "
+                "process_occupancy() for replay mode or pass a Segmenter.")
+        self._ensure_fused()
+        return self._fused(self.segmenter.variables, frame_bgr)
+
+    def retire_frame(self, handle, now_ms: int | None = None,
+                     frame: np.ndarray | None = None) -> FrameResult | None:
+        """Fetch a submitted frame's packed payload (the single device->host
+        transfer) and run the host half. Returns None if the blur gate
+        rejects the frame (reference: FrameProcessor.py:44-48 + main.py:78-94
+        retry loop)."""
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        payload = self._unpack(np.asarray(handle))
+        if self.cfg.blur.enabled and \
+                payload.blur_var < self.cfg.blur.laplacian_var_threshold:
+            return None
+        paths, peaks, penalty = self._paths_from_arrays(
+            walkable=payload.walkable, artificial=payload.artificial,
+            peaks=payload.peaks, penalty_f32=payload.penalty,
+            paths_batch=payload.paths)
+        answer = self.analyser(self.cfg.frame_height, self.cfg.frame_width,
+                               paths, now_ms)
+        result = FrameResult(
+            final_answer=answer, paths=paths, peaks=peaks,
+            occupancy=payload.occupancy,
+            walkable=payload.walkable,
+            artificial=payload.artificial,
+            penalty=penalty,
+        )
+        if self.debug:
+            from vision_assist_tpu.io.visualiser import render_overlay
+            result.overlay = render_overlay(self.cfg, result, frame=frame)
+        return result
+
     def __call__(self, frame_bgr: np.ndarray,
                  now_ms: int | None = None) -> FrameResult | None:
-        """Full pipeline: segmentation + planning + analysis on one frame.
+        """Full pipeline: segmentation + planning + analysis on one frame —
+        one fused jitted program, one device->host transfer.
 
         Returns None for frames rejected by the blur gate (when enabled —
         the reference's gate is FrameProcessor.py:44-48, disabled by default
         at :314-319; the driver then retries the next frame, main.py:78-94).
         """
-        if self.segmenter is None:
-            raise ValueError(
-                "FrameProcessor was built without a segmenter; use "
-                "process_occupancy() for replay mode or pass a Segmenter.")
-        if self.cfg.blur.enabled:
-            import jax.numpy as jnp
-
-            from vision_assist_tpu.ops.blur import laplacian_variance
-
-            if float(laplacian_variance(jnp.asarray(frame_bgr))) \
-                    < self.cfg.blur.laplacian_var_threshold:
-                return None
-        seg = self.segmenter(frame_bgr)
-        return self.process_occupancy(
-            np.asarray(seg.occupancy), now_ms=now_ms, frame=frame_bgr)
+        return self.retire_frame(self.submit_frame(frame_bgr),
+                                 now_ms=now_ms, frame=frame_bgr)
