@@ -41,6 +41,34 @@ class TestExactEngineParity:
             assert [[c.row, c.col] for c in p.cells] == gp["cells_rc"]
 
 
+class TestExactDeviceEngine:
+    """engine="exact_device" runs the reference's exact A* fully ON-CHIP
+    (planning/device_astar.py) — 13/13 scenario parity through the public
+    API, including insane_case (which the Markovian wavefront cannot match)."""
+
+    @pytest.mark.parametrize("name", scenario_names())
+    def test_matches_golden(self, name):
+        fp = FrameProcessor(_replay_cfg("exact_device"), replay_rounding=True)
+        res = fp.process_occupancy(load_scenario(name), now_ms=0)
+        gold = json.loads((GOLDENS / f"{name}.json").read_text())
+
+        assert res.final_answer == gold["final_answer"], name
+        assert len(res.paths) == len(gold["paths"])
+        for p, gp in zip(res.paths, gold["paths"]):
+            assert [[c.row, c.col] for c in p.cells] == gp["cells_rc"], name
+
+    def test_cache_state_carries_across_frames(self):
+        fp = FrameProcessor(_replay_cfg("exact_device"), replay_rounding=True)
+        occ = load_scenario("right_turn")
+        import numpy as _np
+        cache0 = _np.asarray(fp._astar_cache)
+        fp.process_occupancy(occ, now_ms=0)
+        cache1 = _np.asarray(fp._astar_cache)
+        # the first frame warms the cache; a fresh cache is all-NaN
+        assert _np.isnan(cache0).all()
+        assert _np.isfinite(cache1).any()
+
+
 class TestWavefrontEngine:
     def test_runs_and_produces_answer(self):
         fp = FrameProcessor(_replay_cfg("wavefront"), replay_rounding=True)

@@ -112,15 +112,23 @@ class PathFinderConfig:
     # keeps the whole sweep loop in VMEM — wins when per-iteration dispatch
     # dominates. Off by default pending real-chip latency validation.
     use_pallas_relax: bool = False
-    # Which engine the pipeline uses. "exact" = host A* twin (C++ native when a
-    # compiler exists, numpy otherwise), bit-matching the reference algorithm;
-    # "wavefront" = fully-on-chip batched search. Default "exact" for both the
-    # single-stream pipeline and the multi-stream server (one engine per
-    # stream, threaded): on the 36x64 lattice the native engine plans in
-    # 0.3-1.6 ms/frame, so serving gets bit-parity with the reference at no
-    # latency cost, and the device plan step skips the wavefront relaxation
-    # entirely.
-    engine: Literal["exact", "wavefront"] = "exact"
+    # Which engine the pipeline uses.
+    #  "exact"        — host A* twin (C++ native when a compiler exists,
+    #                   numpy otherwise), bit-matching the reference.
+    #  "exact_device" — the SAME exact algorithm inside one lax.while_loop on
+    #                   the chip (planning/device_astar.py): sequential pops,
+    #                   stale priorities, radians-cache bug, carried
+    #                   cross-frame angle cache — path-identical to the host
+    #                   twin on all 13 fixtures incl. insane_case.
+    #  "wavefront"    — batched Markovian min-plus relaxation, the fastest
+    #                   on-chip option (vmappable); answers agree on 12/13
+    #                   fixtures (insane_case picks a different corridor).
+    # Default "exact" for both the single-stream pipeline and the
+    # multi-stream server (one engine per stream, threaded): on the 36x64
+    # lattice the native engine plans in 0.3-1.6 ms/frame, so serving gets
+    # bit-parity with the reference at no latency cost, and the device plan
+    # step skips the path search entirely.
+    engine: Literal["exact", "exact_device", "wavefront"] = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

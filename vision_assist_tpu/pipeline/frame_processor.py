@@ -39,6 +39,9 @@ class FrameResult:
     artificial: np.ndarray
     penalty: np.ndarray
     overlay: Optional[np.ndarray] = None
+    # Model-path metadata (fused path only; 0 for replay/process_occupancy).
+    n_detections: int = 0
+    best_conf: float = 0.0
 
 
 class FrameProcessor:
@@ -72,6 +75,13 @@ class FrameProcessor:
         self._fused = None
         self._unpack = None
         self._replay_rounding = replay_rounding
+        # engine="exact_device": the on-chip angle cache is explicit carried
+        # state (the reference's PathFinder singleton cache), device-resident
+        # across frames — it never crosses the host boundary.
+        self._astar_cache = None
+        if self.cfg.pathfinder.engine == "exact_device":
+            from vision_assist_tpu.planning.device_astar import empty_cache
+            self._astar_cache = empty_cache()
 
     # -- device -> host path materialisation --------------------------------------
 
@@ -194,7 +204,12 @@ class FrameProcessor:
 
         if now_ms is None:
             now_ms = int(time.time() * 1000)
-        plan = self._plan(jnp.asarray(np.asarray(occupancy, dtype=bool)))
+        occ_dev = jnp.asarray(np.asarray(occupancy, dtype=bool))
+        if self._astar_cache is not None:
+            plan = self._plan(occ_dev, self._astar_cache)
+            self._astar_cache = plan.astar_cache
+        else:
+            plan = self._plan(occ_dev)
         paths, peaks = self._paths_from_plan(plan)
         answer = self.analyser(self.cfg.frame_height, self.cfg.frame_width,
                                paths, now_ms)
@@ -238,6 +253,10 @@ class FrameProcessor:
                 "FrameProcessor was built without a segmenter; use "
                 "process_occupancy() for replay mode or pass a Segmenter.")
         self._ensure_fused()
+        if self._astar_cache is not None:
+            payload, self._astar_cache = self._fused(
+                self.segmenter.variables, frame_bgr, self._astar_cache)
+            return payload
         return self._fused(self.segmenter.variables, frame_bgr)
 
     def retire_frame(self, handle, now_ms: int | None = None,
@@ -264,6 +283,8 @@ class FrameProcessor:
             walkable=payload.walkable,
             artificial=payload.artificial,
             penalty=penalty,
+            n_detections=payload.n_detections,
+            best_conf=payload.best_conf,
         )
         if self.debug:
             from vision_assist_tpu.io.visualiser import render_overlay

@@ -71,6 +71,7 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
     from vision_assist_tpu.planning.wavefront import PathBatch
 
     include_paths = cfg.pathfinder.engine != "exact"
+    exact_device = cfg.pathfinder.engine == "exact_device"
     plan = make_plan_step(cfg, replay_rounding=replay_rounding,
                           include_paths=include_paths)
     g = cfg.grid.grid_size
@@ -91,9 +92,12 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
         pos += n
     total = pos
 
-    def device_fn(variables, frame_bgr):
+    def device_fn(variables, frame_bgr, astar_cache=None):
+        """exact_device mode takes/returns the device-resident angle cache
+        as a third argument: (payload, cache_out) instead of payload."""
         seg = segmenter._frame_chain(variables, frame_bgr)
-        pr = plan(seg.occupancy)
+        pr = (plan(seg.occupancy, astar_cache) if exact_device
+              else plan(seg.occupancy))
         blur = laplacian_variance(frame_bgr)
 
         flags = (pr.walkable.astype(jnp.int32)
@@ -123,7 +127,10 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
                     pr.paths.costs.astype(jnp.float32), jnp.int32),
                 pr.paths.valid.astype(jnp.int32),
             ]
-        return jnp.concatenate(parts)
+        packed = jnp.concatenate(parts)
+        if exact_device:
+            return packed, pr.astar_cache
+        return packed
 
     def unpack(buf: np.ndarray) -> FramePayload:
         buf = np.asarray(buf)

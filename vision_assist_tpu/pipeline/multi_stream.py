@@ -38,6 +38,15 @@ class MultiStreamProcessor:
         plan = make_plan_step(cfg, replay_rounding=replay_rounding,
                               include_paths=cfg.pathfinder.engine != "exact")
         self._plan_batched = jax.jit(jax.vmap(plan))
+        # exact_device: per-stream on-chip angle caches (each stream is its
+        # own PathFinder singleton, like the per-stream analysers below).
+        self._stream_caches = None
+        if cfg.pathfinder.engine == "exact_device":
+            import jax.numpy as jnp
+
+            from vision_assist_tpu.planning.device_astar import empty_cache
+            self._stream_caches = jnp.stack(
+                [empty_cache()] * cfg.num_streams)
 
         if segmenter is not None:
             chain = segmenter._frame_chain
@@ -92,7 +101,12 @@ class MultiStreamProcessor:
 
         occ = np.asarray(occupancies, dtype=bool)
         assert occ.shape[0] == self.num_streams
-        plans = self._plan_batched(self._shard(jnp.asarray(occ)))
+        if self._stream_caches is not None:
+            plans = self._plan_batched(self._shard(jnp.asarray(occ)),
+                                       self._stream_caches)
+            self._stream_caches = plans.astar_cache
+        else:
+            plans = self._plan_batched(self._shard(jnp.asarray(occ)))
 
         now = ([now_ms] * self.num_streams
                if np.isscalar(now_ms) else list(now_ms))

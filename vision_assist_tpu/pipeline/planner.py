@@ -35,10 +35,14 @@ class PlanResult:
     peaks: PeakSet
     start_rc: jax.Array     # (2,) int32
     paths: PathBatch | None  # None when built with include_paths=False
+    # Updated angle cache (engine="exact_device" only) — cross-frame state
+    # the caller feeds back into the next plan call (the reference's
+    # PathFinder singleton cache, PathFinder.py:32).
+    astar_cache: jax.Array | None = None
 
     def tree_flatten(self):
         return ((self.walkable, self.artificial, self.penalty, self.peaks,
-                 self.start_rc, self.paths), None)
+                 self.start_rc, self.paths, self.astar_cache), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -57,9 +61,9 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False,
     """
     g = cfg.grid.grid_size
     pf = cfg.pathfinder
+    exact_device = cfg.pathfinder.engine == "exact_device"
 
-    @jax.jit
-    def plan(occupancy: jax.Array) -> PlanResult:
+    def _fields(occupancy):
         walkable, artificial = inject_artificial_cells(
             occupancy,
             frame_width=cfg.frame_width, frame_height=cfg.frame_height,
@@ -79,6 +83,37 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False,
         goals = jax.vmap(
             lambda x, y: closest_walkable_cell(walkable, jnp.stack([x, y]), g)
         )(peaks.centre_x, peaks.centre_y)
+        return walkable, artificial, penalty, peaks, start, goals
+
+    if exact_device and include_paths:
+        from vision_assist_tpu.planning.device_astar import (
+            device_astar_paths,
+        )
+
+        @jax.jit
+        def plan(occupancy: jax.Array, astar_cache: jax.Array) -> PlanResult:
+            walkable, artificial, penalty, peaks, start, goals = _fields(
+                occupancy)
+            paths, cache_out = device_astar_paths(
+                walkable, penalty, start, goals, peaks.valid, astar_cache,
+                grid_size=g, max_len=pf.max_path_len,
+                angle_window=pf.angle_window,
+                angle_grace_deg=pf.angle_grace_deg,
+                angle_exponent=pf.angle_exponent,
+                angle_denominator=pf.angle_denominator,
+                penalty_weight=pf.penalty_weight,
+                angle_weight=pf.angle_weight,
+                replicate_radians_cache_bug=pf.replicate_radians_cache_bug)
+            return PlanResult(walkable=walkable, artificial=artificial,
+                              penalty=penalty, peaks=peaks, start_rc=start,
+                              paths=paths, astar_cache=cache_out)
+
+        return plan
+
+    @jax.jit
+    def plan(occupancy: jax.Array) -> PlanResult:
+        walkable, artificial, penalty, peaks, start, goals = _fields(
+            occupancy)
         paths = None
         if include_paths:
             paths = find_paths(
