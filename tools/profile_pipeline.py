@@ -28,7 +28,7 @@ def main() -> int:
     ap.add_argument("--scenario", default="right_turn")
     ap.add_argument("--with-model", action="store_true",
                     help="include the YOLO forward (random weights)")
-    ap.add_argument("--engine", choices=["wavefront", "exact"],
+    ap.add_argument("--engine", choices=["wavefront", "exact", "exact_device"],
                     default="wavefront")
     ap.add_argument("--timing-data-path", default="timing_data.txt")
     ap.add_argument("--samples-path", default=None,

@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--camera-fps", type=float, default=30.0)
     v.add_argument("--every-n", type=int, default=15,
                    help="process every Nth frame (reference main.py:70)")
-    v.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
+    v.add_argument("--engine", choices=["wavefront", "exact", "exact_device"], default="exact")
     v.add_argument("--arch", default="yolov8n-seg")
     v.add_argument("--verbose", action="store_true")
     v.add_argument("--debug", action="store_true",
@@ -47,14 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("image", type=str)
     i.add_argument("--weights", type=str, default=None)
     i.add_argument("--arch", default="yolov8n-seg")
-    i.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
+    i.add_argument("--engine", choices=["wavefront", "exact", "exact_device"], default="exact")
     i.add_argument("--output", type=str, default="results/")
     i.add_argument("--debug", action="store_true")
 
     r = sub.add_parser("replay", help="run a saved occupancy scenario")
     r.add_argument("scenario", type=str,
                    help="scenario name (see tests/fixtures/scenarios)")
-    r.add_argument("--engine", choices=["wavefront", "exact"], default="exact")
+    r.add_argument("--engine", choices=["wavefront", "exact", "exact_device"], default="exact")
     r.add_argument("--debug", action="store_true")
     r.add_argument("--output", type=str, default="results/")
     return p

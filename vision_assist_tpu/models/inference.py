@@ -90,7 +90,11 @@ class Segmenter:
             variables = self.model.init(
                 rng, jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3), jnp.float32),
                 train=False)
-        self.variables = variables
+        # Commit the weights to the device ONCE. Checkpoints restore as host
+        # numpy arrays; passing those to a jitted call re-uploads every
+        # param leaf each call — ~200 relay transfers per frame (measured
+        # ~600 ms/frame on this TPU relay).
+        self.variables = jax.device_put(variables)
         self.frame_h, self.frame_w = example_hw
         self.grid_size = grid_size
         self.spec = LetterboxSpec.create(self.frame_h, self.frame_w, cfg.imgsz)

@@ -53,8 +53,24 @@ class MultiStreamProcessor:
             self._seg_batched = jax.jit(
                 lambda variables, frames: jax.vmap(
                     lambda f: chain(variables, f))(frames))
+            # Fused full-frame path: ONE batched program (seg + plan) and ONE
+            # packed (S, N) transfer per step (pipeline/frame_program.py).
+            from vision_assist_tpu.pipeline.frame_program import (
+                make_frame_program,
+            )
+            device_fn, self._unpack = make_frame_program(
+                cfg, segmenter, replay_rounding=replay_rounding)
+            if self._stream_caches is not None:
+                self._fused_batched = jax.jit(
+                    lambda v, f, c: jax.vmap(
+                        lambda f1, c1: device_fn(v, f1, c1))(f, c))
+            else:
+                self._fused_batched = jax.jit(
+                    lambda v, f: jax.vmap(lambda f1: device_fn(v, f1))(f))
         else:
             self._seg_batched = None
+            self._fused_batched = None
+            self._unpack = None
 
         # Per-stream host state and a single shared path-materialiser. Exact
         # engines carry a cross-frame angle cache (the reference's PathFinder
@@ -142,11 +158,47 @@ class MultiStreamProcessor:
 
     def process_frames(self, frames: np.ndarray,
                        now_ms: int | Sequence[int] = 0) -> list[FrameResult]:
-        """frames: (num_streams, H, W, 3) uint8 BGR."""
+        """frames: (num_streams, H, W, 3) uint8 BGR. One fused batched
+        program (segmentation + planning), one packed (S, N) transfer."""
         import jax.numpy as jnp
 
-        if self._seg_batched is None:
+        if self._fused_batched is None:
             raise ValueError("MultiStreamProcessor built without a segmenter")
-        seg = self._seg_batched(self.segmenter.variables,
-                                self._shard(jnp.asarray(frames)))
-        return self.process_occupancies(np.asarray(seg.occupancy), now_ms)
+        frames_dev = self._shard(jnp.asarray(frames))
+        if self._stream_caches is not None:
+            packed, self._stream_caches = self._fused_batched(
+                self.segmenter.variables, frames_dev, self._stream_caches)
+        else:
+            packed = self._fused_batched(self.segmenter.variables, frames_dev)
+        payloads = [self._unpack(row) for row in np.asarray(packed)]
+
+        now = ([now_ms] * self.num_streams
+               if np.isscalar(now_ms) else list(now_ms))
+
+        def paths_for(s):
+            engine = self._exact_engines[s] if self._exact_engines else None
+            p = payloads[s]
+            return self._fp._paths_from_arrays(
+                walkable=p.walkable, artificial=p.artificial, peaks=p.peaks,
+                penalty_f32=p.penalty, paths_batch=p.paths,
+                exact_engine=engine)
+
+        if self._pool is not None:
+            per_stream = list(self._pool.map(paths_for,
+                                             range(self.num_streams)))
+        else:
+            per_stream = [paths_for(s) for s in range(self.num_streams)]
+
+        results = []
+        for s in range(self.num_streams):
+            p = payloads[s]
+            paths, peaks, penalty = per_stream[s]
+            answer = self.analysers[s](
+                self.cfg.frame_height, self.cfg.frame_width, paths, now[s])
+            results.append(FrameResult(
+                final_answer=answer, paths=paths, peaks=peaks,
+                occupancy=p.occupancy, walkable=p.walkable,
+                artificial=p.artificial, penalty=penalty,
+                n_detections=p.n_detections, best_conf=p.best_conf,
+            ))
+        return results
