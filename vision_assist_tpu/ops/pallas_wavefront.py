@@ -27,7 +27,13 @@ from vision_assist_tpu.planning.wavefront import INF, MOVES, _turn_cost_matrix
 def _relax_kernel(enter_ref, start_ref, turn_ref, out_ref, *, rows, cols,
                   max_sweeps, check_every):
     """enter (R, C) f32 entry costs (INF on non-walkable), start (1, 2) SMEM,
-    turn (4, 4) f32; out (R, C, 4) converged distance field."""
+    turn (4, 4) f32; out (4, R, C) converged distance field.
+
+    The direction axis is MAJOR (4, R, C), not minor: Mosaic (real-chip
+    validation) rejects both i1 minor-dim inserts and minor-dim concatenates
+    with mismatched lane offsets, so all stacking/broadcasting happens on the
+    leading axis while (R, C) stays a clean (sublane, lane) tile.
+    """
 
     turn = turn_ref[:]                       # (4, 4)
     enter = enter_ref[:]                     # (R, C)
@@ -36,25 +42,25 @@ def _relax_kernel(enter_ref, start_ref, turn_ref, out_ref, *, rows, cols,
     sc = start_ref[0, 1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    start_mask = (row_ids == sr) & (col_ids == sc)
-    dist0 = jnp.where(start_mask[:, :, None], 0.0,
-                      jnp.full((rows, cols, 4), INF, jnp.float32))
+    start_mask_f = ((row_ids == sr) & (col_ids == sc)).astype(jnp.float32)
+    dist0 = jnp.where(start_mask_f[None] > 0, 0.0,
+                      jnp.full((4, rows, cols), INF, jnp.float32))
 
     def shift_from_parent(x, dr, dc):
-        pad = [(max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0)), (0, 0)]
+        pad = [(0, 0), (max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0))]
         y = jnp.pad(x, pad, constant_values=INF)
         r0, c0 = max(-dr, 0), max(-dc, 0)
         return jax.lax.slice(
-            y, (r0, c0, 0), (r0 + rows, c0 + cols, 4))
+            y, (0, r0, c0), (4, r0 + rows, c0 + cols))
 
     def sweep(dist):
         cands = []
         for d in range(4):
             dr, dc = int(MOVES[d][0]), int(MOVES[d][1])
             parent = shift_from_parent(dist, dr, dc)
-            cands.append(jnp.min(parent + turn[:, d][None, None, :], axis=-1)
+            cands.append(jnp.min(parent + turn[:, d][:, None, None], axis=0)
                          + enter)
-        return jnp.minimum(dist, jnp.stack(cands, axis=-1))
+        return jnp.minimum(dist, jnp.stack(cands, axis=0))
 
     def outer(_, carry):
         dist, done = carry
@@ -112,9 +118,9 @@ def relax_pallas(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
 
     kernel = functools.partial(_relax_kernel, rows=rows, cols=cols,
                                max_sweeps=max_sweeps, check_every=check_every)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, cols, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, rows, cols), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -123,3 +129,6 @@ def relax_pallas(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(enter, start, turn)
+    # Public contract stays (R, C, 4); the transpose happens in XLA outside
+    # the kernel, where layout changes are free to fuse.
+    return out.transpose(1, 2, 0)
