@@ -114,6 +114,21 @@ def main() -> None:
         fp.retire_frame(handles.pop(0), now_ms=6000)
     fps = n_thr / (time.perf_counter() - t0)
 
+    # 3) batched multi-stream serving (BASELINE config 5): 8 camera streams
+    # per fused program step — the per-chip serving throughput.
+    from vision_assist_tpu.pipeline.multi_stream import MultiStreamProcessor
+    streams = 8
+    msp = MultiStreamProcessor(cfg.replace(num_streams=streams),
+                               segmenter=seg)
+    sframes = frames[:streams]
+    msp.process_frames(sframes, now_ms=0)  # compile
+    reps = 12
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        msp.process_frames(sframes, now_ms=7000 + rep * 33)
+    batched_fps = streams * reps / (time.perf_counter() - t0)
+    msp.close()
+
     baseline_fps = 1.0 / 0.24  # BASELINE.md "optimisation 3" frame time
     diag_path = REPO / "diagnostics" / "latency.json"
     diag = json.loads(diag_path.read_text()) if diag_path.exists() else {}
@@ -125,6 +140,7 @@ def main() -> None:
         "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 2),
         "pipeline_depth": depth,
+        "batched_fps_8streams": round(batched_fps, 2),
         "frames_with_detections": f"{det_frames}/{n_lat}",
         "weights": "trained" if WEIGHTS.exists() else "random-init",
         "engine": cfg.pathfinder.engine,
