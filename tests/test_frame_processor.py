@@ -123,7 +123,7 @@ class TestFusedFrameProgram:
         return cfg.replace(
             pathfinder=cfg.pathfinder.__class__(engine=engine))
 
-    @pytest.mark.parametrize("engine", ["exact", "wavefront"])
+    @pytest.mark.parametrize("engine", ["exact", "wavefront", "exact_device"])
     def test_fused_matches_two_program_path(self, seg_and_frame, engine):
         seg, frame = seg_and_frame
         cfg = self._cfg(engine)
@@ -148,7 +148,7 @@ class TestFusedFrameProgram:
         for a, b in zip(res_fused.paths, res_ref.paths):
             assert [(c.row, c.col) for c in a.cells] == \
                    [(c.row, c.col) for c in b.cells]
-        if engine == "wavefront":
+        if engine != "exact":
             # Both report the device f32 penalty field.
             np.testing.assert_allclose(res_fused.penalty, res_ref.penalty,
                                        rtol=1e-6)

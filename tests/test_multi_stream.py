@@ -101,3 +101,31 @@ class TestMultiStream:
         for r in results:
             assert r.final_answer in (
                 "move_left", "move_right", "continue_forward")
+
+    def test_fused_frames_sharded_over_8_device_mesh(self):
+        """The FUSED full-frame path (seg + plan in one batched program,
+        one packed transfer) dp-sharded over the virtual mesh — the product
+        serving configuration (BASELINE config 5)."""
+        from vision_assist_tpu.config import ModelConfig
+        from vision_assist_tpu.models.inference import Segmenter
+        from vision_assist_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, mdl=1)
+        cfg = _cfg(8).replace(frame_height=320, frame_width=240,
+                              model=ModelConfig(imgsz=64))
+        seg = Segmenter(cfg.model, example_hw=(320, 240),
+                        grid_size=cfg.grid.grid_size)
+        msp = MultiStreamProcessor(cfg, segmenter=seg, mesh=mesh,
+                                   replay_rounding=True)
+        frames = np.random.default_rng(1).integers(
+            0, 255, (8, 320, 240, 3), dtype=np.uint8)
+        results = msp.process_frames(frames, now_ms=0)
+        assert len(results) == 8
+        # Per-stream equality with the unsharded single-frame fused path.
+        fp = FrameProcessor(cfg.replace(num_streams=1), segmenter=seg,
+                            replay_rounding=True)
+        single = fp(frames[0], now_ms=0)
+        assert results[0].final_answer == single.final_answer
+        np.testing.assert_array_equal(results[0].walkable, single.walkable)

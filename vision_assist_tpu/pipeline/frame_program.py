@@ -70,6 +70,15 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
     from vision_assist_tpu.ops.blur import laplacian_variance
     from vision_assist_tpu.planning.wavefront import PathBatch
 
+    if (segmenter.frame_h, segmenter.frame_w) != (cfg.frame_height,
+                                                  cfg.frame_width) or \
+            segmenter.grid_size != cfg.grid.grid_size:
+        raise ValueError(
+            f"segmenter geometry ({segmenter.frame_h}x{segmenter.frame_w}, "
+            f"grid {segmenter.grid_size}) does not match the pipeline config "
+            f"({cfg.frame_height}x{cfg.frame_width}, grid "
+            f"{cfg.grid.grid_size}); build the Segmenter with "
+            f"example_hw=(cfg.frame_height, cfg.frame_width)")
     include_paths = cfg.pathfinder.engine != "exact"
     exact_device = cfg.pathfinder.engine == "exact_device"
     plan = make_plan_step(cfg, replay_rounding=replay_rounding,
