@@ -18,8 +18,8 @@ SRC="$OUT/best.msgpack"
 cp "$SRC" assets/weights/v8n_640_best.msgpack
 ls -la assets/weights/
 
-python - <<'EOF'
-import json
+python - <<EOF
+import json, pathlib
 from vision_assist_tpu.utils.cache import enable; enable()
 from vision_assist_tpu.models.checkpoint import load_variables
 from vision_assist_tpu.models.evaluate import evaluate
@@ -30,7 +30,30 @@ model = YoloSeg(arch="yolov8n-seg", num_classes=1)
 m = evaluate(model, variables, "/root/reference/model", "valid",
              imgsz=640, batch_size=16, verbose=True)
 print("FULL VAL:", json.dumps(m))
-open("TRAINING_RESULTS.json", "w").write(json.dumps(m, indent=1))
+
+history = []
+hp = pathlib.Path("$OUT/history.json")
+if hp.exists():
+    history = json.loads(hp.read_text())
+result = {
+    "full_val": m,
+    "arch": "yolov8n-seg",
+    "imgsz": 640,
+    "epochs_completed": history[-1]["epoch"] if history else None,
+    "training": "from scratch on the bundled sidewalk dataset (the "
+                "reference's COCO-pretrained best.pt is not in its repo; "
+                "its SavedModels are 4KB stubs)",
+    "reference_baseline": {
+        "map50_mask": 0.8588, "map50_95_mask": 0.7337,
+        "map50_box": 0.8644, "map50_95_box": 0.7751,
+        "source": "reference model/runs/segment/train11/results.csv final "
+                  "row (COCO-pretrained, 100 epochs)",
+    },
+    "eval_protocol": "models/evaluate.py — conf 0.001, IoU 0.7, max_det "
+                     "300, full valid split (1059 images), mask IoU at "
+                     "prototype resolution",
+}
+open("TRAINING_RESULTS.json", "w").write(json.dumps(result, indent=1))
 EOF
 
 python bench.py | tee BENCH_LOCAL.json
