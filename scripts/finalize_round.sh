@@ -56,6 +56,13 @@ result = {
 open("TRAINING_RESULTS.json", "w").write(json.dumps(result, indent=1))
 EOF
 
+# Pin model-in-the-loop goldens with the promoted weights (CPU numerics —
+# the test suite replays them on CPU) and check they replay green.
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python scripts/generate_model_goldens.py || true
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python -m pytest tests/test_model_goldens.py -q || true
+
 python bench.py | tee BENCH_LOCAL.json
 
 # Per-stage timing artifact on the real chip (reference timing_data.txt
