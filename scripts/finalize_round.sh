@@ -42,7 +42,9 @@ result = {
     "epochs_completed": history[-1]["epoch"] if history else None,
     "training": "from scratch on the bundled sidewalk dataset (the "
                 "reference's COCO-pretrained best.pt is not in its repo; "
-                "its SavedModels are 4KB stubs)",
+                "its SavedModels are 4KB stubs); round-2 run warm-started "
+                "from the 12-epoch round-1 checkpoint, so effective epochs "
+                "= epochs_completed + 12",
     "reference_baseline": {
         "map50_mask": 0.8588, "map50_95_mask": 0.7337,
         "map50_box": 0.8644, "map50_95_box": 0.7751,
@@ -62,6 +64,13 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python scripts/generate_model_goldens.py || true
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python -m pytest tests/test_model_goldens.py -q || true
+
+# Refresh latency diagnostics on the now-quiet chip (earlier numbers taken
+# while the trainer shared the relay are contaminated — see
+# diagnostics/batch1_latency.json).
+python tools/diagnose_latency.py || true
+python tools/diagnose_fused.py || true
+python tools/diagnose_batch1.py || true
 
 python bench.py | tee BENCH_LOCAL.json
 
