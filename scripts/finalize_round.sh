@@ -55,6 +55,31 @@ result = {
                      "300, full valid split (1059 images), mask IoU at "
                      "prototype resolution",
 }
+# Second architecture (yolo11n-seg @ 256 — the reference's train16 recipe,
+# 0.8103 mAP50(M) baseline), when that run exists.
+sp = pathlib.Path("runs/y11n_256/best.msgpack")
+if not sp.exists():
+    sp = pathlib.Path("runs/y11n_256/last.msgpack")
+if sp.exists():
+    import shutil
+    shutil.copy(sp, "assets/weights/y11n_256_best.msgpack")
+    v2 = load_variables("assets/weights/y11n_256_best.msgpack")
+    m2 = evaluate(YoloSeg(arch="yolo11n-seg", num_classes=1), v2,
+                  "/root/reference/model", "valid", imgsz=256,
+                  batch_size=32, verbose=True)
+    print("FULL VAL (yolo11n-seg@256):", json.dumps(m2))
+    h2p = pathlib.Path("runs/y11n_256/history.json")
+    h2 = json.loads(h2p.read_text()) if h2p.exists() else []
+    result["second_arch"] = {
+        "arch": "yolo11n-seg", "imgsz": 256, "full_val": m2,
+        "epochs_completed": h2[-1]["epoch"] if h2 else None,
+        "reference_baseline": {
+            "map50_mask": 0.8103,
+            "source": "reference model/runs/segment/train16/results.csv "
+                      "final row (COCO-pretrained, 150 epochs)",
+        },
+    }
+
 open("TRAINING_RESULTS.json", "w").write(json.dumps(result, indent=1))
 EOF
 
