@@ -48,6 +48,10 @@ def main() -> int:
                     help="block on device results every N steps (bounds the "
                          "async queue; this TPU relay stalls when hundreds of "
                          "executions are in flight)")
+    ap.add_argument("--max-rss-gb", type=float, default=60.0,
+                    help="exit 42 (supervised restart, exact resume) when "
+                         "host RSS exceeds this — the remote relay client "
+                         "leaks per-step host buffers we cannot free")
     ap.add_argument("--watchdog-secs", type=int, default=600,
                     help="abort (exit 42) if no step completes for this long; "
                          "scripts/train_supervised.sh restarts + resumes")
@@ -200,7 +204,30 @@ def main() -> int:
         save_variables(out / "last.msgpack",
                        {"params": state.ema_params,
                         "batch_stats": state.batch_stats})
+        # Host-RSS hygiene: the experimental TPU relay client leaks host
+        # memory per executed step (measured ~4.8 GB/epoch at 640px — the
+        # per-batch upload size), which OOM-killed a 640px run at epoch 27
+        # with 130 GB anon-RSS. A leak we don't own is handled by planned
+        # restart: save-state runs every epoch, so exit 42 here and let
+        # scripts/train_supervised.sh resume exactly.
+        rss_gb = _rss_gb()
+        print(f"  host rss: {rss_gb:.1f} GB", flush=True)
+        if rss_gb > args.max_rss_gb:
+            print(f"RSS {rss_gb:.1f} GB > --max-rss-gb {args.max_rss_gb}; "
+                  "restarting for memory hygiene", flush=True)
+            return 42
     return 0
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
 
 if __name__ == "__main__":

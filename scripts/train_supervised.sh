@@ -14,10 +14,16 @@ while true; do
   python scripts/train_model.py --out "$OUT" --save-state-every 1 \
       "${RESUME[@]}" "${ARGS[@]}"
   code=$?
-  if [ $code -ne 42 ]; then
-    echo "trainer exited with code $code; stopping supervisor"
-    exit $code
-  fi
-  echo "trainer watchdog abort; restarting with resume..."
+  # Restart-and-resume on: 42 (in-process watchdog / RSS hygiene),
+  # 137 (SIGKILL, i.e. the kernel OOM killer — the relay client leaks host
+  # memory per step), 143 (SIGTERM). Anything else is a real failure.
+  case $code in
+    42|137|143) ;;
+    *)
+      echo "trainer exited with code $code; stopping supervisor"
+      exit $code
+      ;;
+  esac
+  echo "trainer exited $code; restarting with resume..."
   sleep 10
 done
