@@ -13,23 +13,33 @@ pkill -f train_model.py
 sleep 5
 
 mkdir -p assets/weights
-SRC="$OUT/best.msgpack"
-[ -f "$SRC" ] || SRC="$OUT/last.msgpack"
-cp "$SRC" assets/weights/v8n_640_best.msgpack
 ls -la assets/weights/
 
 python - <<EOF
-import json, pathlib
+import json, pathlib, shutil
 from vision_assist_tpu.utils.cache import enable; enable()
 from vision_assist_tpu.models.checkpoint import load_variables
 from vision_assist_tpu.models.evaluate import evaluate
 from vision_assist_tpu.models.yolo import YoloSeg
 
-variables = load_variables("assets/weights/v8n_640_best.msgpack")
 model = YoloSeg(arch="yolov8n-seg", num_classes=1)
-m = evaluate(model, variables, "/root/reference/model", "valid",
-             imgsz=640, batch_size=16, verbose=True)
-print("FULL VAL:", json.dumps(m))
+
+# "best" was selected on a noisy 256-image eval subset during training;
+# full-evaluate best AND last and promote whichever truly scores higher.
+candidates = [p for p in (pathlib.Path("$OUT/best.msgpack"),
+                          pathlib.Path("$OUT/last.msgpack")) if p.exists()]
+if not candidates:
+    candidates = [pathlib.Path("assets/weights/v8n_640_best.msgpack")]
+scored = []
+for p in candidates:
+    mm = evaluate(model, load_variables(p), "/root/reference/model",
+                  "valid", imgsz=640, batch_size=16, verbose=True)
+    print(f"FULL VAL {p}:", json.dumps(mm))
+    scored.append((mm["map50_mask"], str(p), mm))
+scored.sort(reverse=True)
+_, chosen, m = scored[0]
+shutil.copy(chosen, "assets/weights/v8n_640_best.msgpack")
+print("promoted", chosen)
 
 history = []
 hp = pathlib.Path("$OUT/history.json")
