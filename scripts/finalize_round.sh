@@ -6,10 +6,9 @@
 set -x
 OUT="${1:-runs/v8n_640}"
 
-pkill -f train_supervised.sh
-pkill -f babysit_trainer.sh
-pkill -f checkpoint_commit.sh
-pkill -f train_model.py
+# Stop helpers by exact argv match — NEVER by pattern (pkill -f can match
+# unrelated processes whose -c string mentions these names).
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/stop_training.py
 sleep 5
 
 mkdir -p assets/weights

@@ -6,7 +6,7 @@
 # Launch detached: nohup bash scripts/queue_y11n.sh > runs/chain.log 2>&1 &
 cd "$(dirname "$0")/.." || exit 1
 OUT=runs/v8n_640 bash scripts/train_supervised.sh \
-    --epochs 140 --eval-every 10 --max-rss-gb 100 \
+    --epochs 100 --eval-every 10 --eval-images 256 --max-rss-gb 100 \
     --resume assets/weights/v8n_640_best.msgpack
 echo "v8n_640 finished (rc=$?); launching yolo11n-seg @ 256" >&2
 OUT=runs/y11n_256 exec bash scripts/train_supervised.sh \

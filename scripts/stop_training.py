@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Stop all training helpers by exact argv match (never by pattern).
+
+Pattern kills (pkill -f / pgrep -f) are unsafe here: unrelated processes
+(including the orchestration session driving this repo) can carry these
+script names inside a quoted -c string. This scanner only matches processes
+whose argv is literally ["bash"|"python"(3), "<path ending in target>", ...]
+— i.e. the interpreter is argv[0] and the script is its own argv element —
+which cannot match a shell -c wrapper.
+
+Order: supervisors first (so nothing restarts), then the trainer with
+SIGTERM (it saves orbax state per epoch; 143 is a clean supervised exit),
+then SIGKILL for stragglers.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import signal
+import sys
+import time
+
+SUPERVISORS = ("queue_y11n.sh", "train_supervised.sh", "babysit_trainer.sh",
+               "checkpoint_commit.sh")
+TRAINERS = ("train_model.py",)
+
+
+def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
+    if len(argv) < 2:
+        return False
+    interp = os.path.basename(argv[0])
+    if interp not in ("bash", "sh", "python", "python3"):
+        return False
+    return any(argv[1].endswith(t) for t in targets)
+
+
+def scan(targets: tuple[str, ...]) -> list[int]:
+    me = os.getpid()
+    parents = set()
+    p = me
+    while p > 1:  # never touch our own ancestry
+        parents.add(p)
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                p = int(f.read().split(") ")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    pids = []
+    for d in pathlib.Path("/proc").iterdir():
+        if not d.name.isdigit():
+            continue
+        pid = int(d.name)
+        if pid == me or pid in parents:
+            continue
+        try:
+            argv = (d / "cmdline").read_bytes().split(b"\0")
+        except OSError:
+            continue
+        argv = [a.decode(errors="replace") for a in argv if a]
+        if matches(argv, targets):
+            pids.append(pid)
+    return pids
+
+
+def kill_all(targets: tuple[str, ...], sig: int) -> list[int]:
+    pids = scan(targets)
+    for pid in pids:
+        try:
+            os.kill(pid, sig)
+        except OSError:
+            pass
+    return pids
+
+
+def main() -> None:
+    pathlib.Path("runs/STOP").touch()  # cooperative stop for future loops
+    killed = kill_all(SUPERVISORS, signal.SIGTERM)
+    if killed:
+        print(f"stopped supervisors: {killed}")
+    time.sleep(1)
+    killed = kill_all(TRAINERS, signal.SIGTERM)
+    if killed:
+        print(f"sent SIGTERM to trainers: {killed}")
+    # give the trainer up to 60 s to finish its epoch-state save
+    for _ in range(60):
+        if not scan(TRAINERS):
+            break
+        time.sleep(1)
+    for pid in kill_all(SUPERVISORS + TRAINERS, signal.SIGKILL):
+        print(f"SIGKILLed {pid}")
+    print("training helpers stopped")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

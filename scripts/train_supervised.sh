@@ -5,6 +5,10 @@
 OUT="${OUT:-runs/v8n_640}"
 ARGS=("$@")
 while true; do
+  if [ -f runs/STOP ]; then
+    echo "runs/STOP present; supervisor exiting"
+    exit 0
+  fi
   RESUME=()
   if [ -d "$OUT/state" ]; then
     RESUME=(--resume-state "$OUT/state")
