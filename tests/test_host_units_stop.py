@@ -1,0 +1,41 @@
+"""stop_training's argv matcher must hit helper processes and never a shell
+-c wrapper that merely mentions the script names (the reason pkill -f is
+banned here)."""
+
+import importlib.util
+import pathlib
+
+spec = importlib.util.spec_from_file_location(
+    "stop_training",
+    pathlib.Path(__file__).resolve().parents[1] / "scripts" / "stop_training.py")
+stop_training = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(stop_training)
+
+SUP = stop_training.SUPERVISORS
+TRAIN = stop_training.TRAINERS
+
+
+def test_matches_helper_invocations():
+    assert stop_training.matches(
+        ["bash", "scripts/train_supervised.sh", "--epochs", "100"], SUP)
+    assert stop_training.matches(
+        ["/bin/bash", "/root/repo/scripts/checkpoint_commit.sh"], SUP)
+    assert stop_training.matches(
+        ["python", "scripts/train_model.py", "--out", "runs/x"], TRAIN)
+    assert stop_training.matches(
+        ["python3", "/root/repo/scripts/train_model.py"], TRAIN)
+
+
+def test_never_matches_shell_wrappers_or_mentions():
+    # A -c wrapper whose command STRING mentions the scripts: pkill -f would
+    # kill this; the argv matcher must not.
+    assert not stop_training.matches(
+        ["/bin/bash", "-c", "bash scripts/train_supervised.sh; "
+         "python scripts/train_model.py"], SUP + TRAIN)
+    # An editor/pager on the script file.
+    assert not stop_training.matches(["claude", "scripts/train_model.py"],
+                                     TRAIN)
+    # tee/tail and bare interpreters.
+    assert not stop_training.matches(["tail", "-f", "runs/chain.log"], SUP)
+    assert not stop_training.matches(["python"], TRAIN)
+    assert not stop_training.matches([], TRAIN)
