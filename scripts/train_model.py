@@ -57,6 +57,11 @@ def main() -> int:
                          "scripts/train_supervised.sh restarts + resumes")
     args = ap.parse_args()
 
+    # Multi-host scale-out is one env var away (VAT_COORDINATOR; no-op
+    # otherwise) — must run before the first jax backend touch.
+    from vision_assist_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
+
     import jax
     import jax.numpy as jnp
 
