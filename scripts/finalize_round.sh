@@ -92,6 +92,15 @@ if sp.exists():
 open("TRAINING_RESULTS.json", "w").write(json.dumps(result, indent=1))
 EOF
 
+# Training curves + results.csv-style table (ultralytics results.png twin).
+for RUN in "$OUT" runs/y11n_256; do
+  if [ -f "$RUN/history.json" ]; then
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/plot_training.py \
+        "$RUN/history.json" -o "assets/$(basename "$RUN")_training_curves.png" \
+        --csv "assets/$(basename "$RUN")_results.csv" || true
+  fi
+done
+
 # Pin model-in-the-loop goldens with the promoted weights (CPU numerics —
 # the test suite replays them on CPU) and check they replay green.
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
