@@ -115,6 +115,10 @@ python tools/diagnose_latency.py || true
 python tools/diagnose_fused.py || true
 python tools/diagnose_batch1.py || true
 
+# End-to-end demo overlays on real val photos with the promoted weights
+# (one process, one compile).
+python scripts/render_demo.py -n 6 --out assets/demo || true
+
 python bench.py | tee BENCH_LOCAL.json
 
 # Per-stage timing artifact on the real chip (reference timing_data.txt
