@@ -240,6 +240,34 @@ class TestTrainStep:
         # Overfitting a single tiny batch must reduce the loss.
         assert losses[-1] < losses[0]
 
+    def test_train_step_yolo11n_arch(self):
+        """The second training recipe (yolo11n-seg @ 256, the reference's
+        train16 run) must have a working train step, including the device-side
+        HSV-jitter path the real loader feeds (data/augment_device.py)."""
+        cfg = TrainConfig(imgsz=64, batch_size=2, warmup_epochs=0)
+        model = YoloSeg(arch="yolo11n-seg", num_classes=1)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                   steps_per_epoch=10)
+        step = make_train_step(model, LossConfig(mask_topk=8), cfg)
+
+        rng = np.random.default_rng(0)
+        masks = np.zeros((2, 16, 16), np.uint8)
+        masks[:, 4:14, 2:12] = 1
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)),
+            "boxes": jnp.tile(jnp.asarray([[8.0, 8, 48, 56]]), (2, 4, 1)),
+            "classes": jnp.zeros((2, 4), jnp.int32),
+            "valid": jnp.ones((2, 4), bool),
+            "masks": jnp.asarray(masks),
+        }
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        batch["hsv_gains"] = jnp.ones((2, 3), jnp.float32)
+        state, metrics = step(state, batch)
+        assert int(state.step) == 2
+        assert np.isfinite(float(metrics["loss"]))
+
 
 class TestCheckpointResume:
     def test_full_train_state_roundtrip(self, tmp_path):
