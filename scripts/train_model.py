@@ -197,6 +197,37 @@ def main() -> int:
                 save_variables(out / "best.msgpack",
                                {"params": state.ema_params,
                                 "batch_stats": state.batch_stats})
+        # Collapse guard: from-scratch bf16 training can blow up (one bad
+        # step at mid-schedule lr) and fall into the self-reinforcing
+        # "predict nothing" state — observed at epoch 40 of the round-2 v8n
+        # run (fg/img 3.3 -> 0.05, eval mAP -> 0). Detect the signature
+        # (foreground collapse or loss spike vs the recent healthy median)
+        # and revert to the previous epoch's full TrainState; the loader's
+        # rng stream has advanced, so the retried epochs see fresh batches.
+        healthy = [h for h in history[-8:] if not h.get("reverted")]
+        if len(healthy) >= 4 and (out / "state").exists():
+            med_loss = float(np.median([h["loss"] for h in healthy]))
+            med_fg = float(np.median([h["fg_per_img"] for h in healthy]))
+            collapsed = (not np.isfinite(mean["loss"])
+                         or mean["fg_per_img"] < 0.5 * med_fg
+                         or mean["loss"] > 1.6 * med_loss)
+            if collapsed:
+                from vision_assist_tpu.models.checkpoint import (
+                    load_train_state,
+                )
+                print(f"COLLAPSE at epoch {epoch + 1}: "
+                      f"loss {mean['loss']:.1f} (median {med_loss:.1f}), "
+                      f"fg/img {mean['fg_per_img']:.2f} (median "
+                      f"{med_fg:.2f}) — reverting to previous epoch state",
+                      flush=True)
+                record["reverted"] = True
+                history.append(record)
+                tmp = out / "history.json.tmp"
+                tmp.write_text(json.dumps(history, indent=1))
+                tmp.replace(out / "history.json")
+                state = load_train_state(out / "state", state)
+                continue
+
         history.append(record)
         # tmp+rename: a concurrent reader (checkpoint snapshotter, resume)
         # must never see a torn half-written JSON.
@@ -205,7 +236,20 @@ def main() -> int:
         tmp.replace(out / "history.json")
         if args.save_state_every and (epoch + 1) % args.save_state_every == 0:
             from vision_assist_tpu.models.checkpoint import save_train_state
-            save_train_state(out / "state", state)
+            # Write-new-then-swap: a crash mid-save must never leave a torn
+            # orbax dir where the resume path (supervisor: --resume-state
+            # $OUT/state) expects a valid checkpoint.
+            import shutil
+            new = out / "state_new"
+            if new.exists():
+                shutil.rmtree(new)
+            save_train_state(new, state)
+            prev = out / "state_prev"
+            if prev.exists():
+                shutil.rmtree(prev)
+            if (out / "state").exists():
+                (out / "state").rename(prev)
+            new.rename(out / "state")
         save_variables(out / "last.msgpack",
                        {"params": state.ema_params,
                         "batch_stats": state.batch_stats})

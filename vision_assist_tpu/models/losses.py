@@ -37,6 +37,17 @@ class LossConfig:
     reg_max: int = 16
     num_classes: int = 1
     mask_topk: int = 64   # static cap of per-image fg anchors for mask loss
+    # Robustness extension beyond ultralytics' TAL (deliberate deviation,
+    # flag-gated): pure TAL assigns ZERO anchors to a GT whose predicted
+    # boxes all have IoU 0 (align = score^a * iou^b = 0), so a model that
+    # collapses to "predict nothing" receives no positive gradient and can
+    # never recover — observed once in from-scratch bf16 training (round-2
+    # v8n run, epoch 40: fg/img 3.3 -> 0.05, eval mAP -> 0). With
+    # tal_min_assign, any valid GT with no TAL candidate is assigned its
+    # nearest in-box anchor at a fixed soft-target floor, guaranteeing
+    # gradient flow toward every GT.
+    tal_min_assign: bool = True
+    tal_min_assign_score: float = 0.2
 
 
 def _bce_logits(logits, targets):
@@ -106,6 +117,23 @@ def task_aligned_assign(pred_scores, pred_boxes, anchor_pts, gt_boxes,
     kth = topk_vals[..., -1:]
     cand = (align >= jnp.maximum(kth, 1e-12)) & (align > 0)  # (B, N, A)
 
+    # Minimum-assignment fallback (see LossConfig.tal_min_assign): a valid GT
+    # with no candidate gets its nearest anchor (preferring anchors inside
+    # the box) so it always receives gradient.
+    if cfg.tal_min_assign:
+        need = gt_valid & ~cand.any(axis=-1)                 # (B, N)
+        gcx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5  # (B, N, 1)
+        gcy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
+        d2 = (ax - gcx) ** 2 + (ay - gcy) ** 2               # (B, N, A)
+        d2_in = jnp.where(in_gt, d2, jnp.inf)
+        any_in = in_gt.any(axis=-1, keepdims=True)
+        d2_use = jnp.where(any_in, d2_in, d2)
+        fallback = (jax.nn.one_hot(jnp.argmin(d2_use, axis=-1), a, dtype=bool)
+                    & need[..., None])                       # (B, N, A)
+        cand = cand | fallback
+    else:
+        fallback = jnp.zeros_like(cand)
+
     # Conflict resolution: anchor claimed by the GT with highest overlap.
     conflict = cand.sum(axis=1, keepdims=True) > 1           # (B, 1, A)
     best_gt = jnp.argmax(jnp.where(cand, overlaps, -1.0), axis=1)  # (B, A)
@@ -125,6 +153,17 @@ def task_aligned_assign(pred_scores, pred_boxes, anchor_pts, gt_boxes,
     gt_cls_per_anchor = jnp.take_along_axis(gt_classes, assigned_gt, axis=1)
     target_scores = (jax.nn.one_hot(gt_cls_per_anchor, nc)
                      * (norm_per_anchor * fg_mask)[..., None])
+
+    # Fallback anchors have align = 0 so their normalised target (and with
+    # it the box-loss weight) would be 0 — floor it so the rescue assignment
+    # actually pulls the prediction toward the GT.
+    if cfg.tal_min_assign:
+        floor = cfg.tal_min_assign_score
+        need_floor = (fallback.any(axis=1) & fg_mask
+                      & (target_scores.sum(-1) < floor))     # (B, A)
+        target_scores = jnp.where(
+            need_floor[..., None],
+            jax.nn.one_hot(gt_cls_per_anchor, nc) * floor, target_scores)
     return fg_mask, assigned_gt, target_scores
 
 

@@ -76,9 +76,21 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
         return jax.tree_util.tree_map_with_path(
             lambda path, _: path[-1].key == "kernel", params)
 
-    return optax.chain(
+    def zero_nonfinite() -> optax.GradientTransformation:
         # Safety net: a single pathological batch must not poison the run.
-        optax.zero_nans(),
+        # optax.zero_nans only catches NaN; an INF grad would survive it,
+        # make the global norm inf, and turn clip's scale (10/inf -> 0)
+        # into inf*0 = NaN updates — permanent param poisoning.
+        def update(updates, s, params=None):
+            del params
+            return jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+                updates), s
+        return optax.GradientTransformation(lambda p: optax.EmptyState(),
+                                            update)
+
+    return optax.chain(
+        zero_nonfinite(),
         # ultralytics clips the global grad norm at 10 before stepping;
         # without it bf16 from-scratch training explodes to NaN in epoch 1.
         optax.clip_by_global_norm(10.0),
