@@ -240,6 +240,89 @@ class TestTrainStep:
         # Overfitting a single tiny batch must reduce the loss.
         assert losses[-1] < losses[0]
 
+    def test_tal_min_assign_rescues_dead_model(self):
+        """A predict-nothing model (degenerate far-away boxes, ~zero scores)
+        gets zero foreground from pure TAL — the observed epoch-40 collapse
+        death spiral. tal_min_assign must assign every valid GT its nearest
+        anchor at the soft-target floor so gradient flow resumes."""
+        import dataclasses
+
+        from vision_assist_tpu.models.losses import task_aligned_assign
+
+        B, A, N = 2, 84, 3
+        anchors = jnp.asarray(np.stack(
+            np.meshgrid(np.arange(12) * 8 + 4, np.arange(7) * 8 + 4),
+            -1).reshape(-1, 2).astype(np.float32))[:A]
+        gt = jnp.asarray(np.array(
+            [[[8, 8, 60, 50], [20, 10, 80, 40], [0, 0, 0, 0]]] * B,
+            np.float32))
+        gt_cls = jnp.zeros((B, N), jnp.int32)
+        valid = jnp.asarray(np.array([[True, True, False]] * B))
+        cfg = LossConfig()
+
+        dead_boxes = jnp.tile(jnp.asarray([500.0, 500, 501, 501]), (B, A, 1))
+        dead_scores = jnp.full((B, A, 1), 1e-4)
+        fg, _, ts = task_aligned_assign(
+            dead_scores, dead_boxes, anchors, gt, gt_cls, valid, cfg)
+        assert int(np.asarray(fg).sum(1).min()) >= 2  # one per valid GT
+        assert float(ts.max()) >= cfg.tal_min_assign_score - 1e-6
+
+        fg_off, _, ts_off = task_aligned_assign(
+            dead_scores, dead_boxes, anchors, gt, gt_cls, valid,
+            dataclasses.replace(cfg, tal_min_assign=False))
+        assert int(np.asarray(fg_off).sum()) == 0  # the death spiral
+        assert float(ts_off.max()) == 0.0
+
+    def test_tal_min_assign_noop_when_healthy(self):
+        """When every GT has TAL candidates the fallback must be inert:
+        assignments identical with the flag on and off."""
+        import dataclasses
+
+        from vision_assist_tpu.models.losses import task_aligned_assign
+
+        B, A, N = 2, 84, 3
+        anchors = jnp.asarray(np.stack(
+            np.meshgrid(np.arange(12) * 8 + 4, np.arange(7) * 8 + 4),
+            -1).reshape(-1, 2).astype(np.float32))[:A]
+        gt = jnp.asarray(np.array(
+            [[[8, 8, 60, 50], [20, 10, 80, 40], [0, 0, 0, 0]]] * B,
+            np.float32))
+        gt_cls = jnp.zeros((B, N), jnp.int32)
+        valid = jnp.asarray(np.array([[True, True, False]] * B))
+        ctrs = np.asarray(anchors)
+        hb = np.stack([ctrs[:, 0] - 12, ctrs[:, 1] - 12,
+                       ctrs[:, 0] + 12, ctrs[:, 1] + 12], -1)
+        boxes = jnp.asarray(np.tile(hb[None], (B, 1, 1)).astype(np.float32))
+        scores = jnp.asarray(np.random.default_rng(0).uniform(
+            0.3, 0.9, (B, A, 1)).astype(np.float32))
+        cfg = LossConfig()
+        r_on = task_aligned_assign(scores, boxes, anchors, gt, gt_cls,
+                                   valid, cfg)
+        r_off = task_aligned_assign(
+            scores, boxes, anchors, gt, gt_cls, valid,
+            dataclasses.replace(cfg, tal_min_assign=False))
+        for a_, b_ in zip(jax.tree.leaves(r_on), jax.tree.leaves(r_off)):
+            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+    def test_optimizer_zeroes_nonfinite_grads(self):
+        """An inf grad must not poison params (inf -> clip scale 0 ->
+        inf*0=NaN with plain zero_nans)."""
+        import optax
+
+        from vision_assist_tpu.models.train import make_optimizer
+
+        cfg = TrainConfig(imgsz=64, batch_size=2, warmup_epochs=0)
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        params = {"a": {"kernel": jnp.ones((3,))},
+                  "b": {"bias": jnp.ones((3,))}}
+        opt = tx.init(params)
+        grads = {"a": {"kernel": jnp.array([1.0, jnp.inf, jnp.nan])},
+                 "b": {"bias": jnp.array([0.5, -jnp.inf, 2.0])}}
+        updates, _ = tx.update(grads, opt, params)
+        new = optax.apply_updates(params, updates)
+        for leaf in jax.tree.leaves(new):
+            assert np.isfinite(np.asarray(leaf)).all()
+
     def test_train_step_yolo11n_arch(self):
         """The second training recipe (yolo11n-seg @ 256, the reference's
         train16 run) must have a working train step, including the device-side
