@@ -51,9 +51,11 @@ result = {
     "epochs_completed": history[-1]["epoch"] if history else None,
     "training": "from scratch on the bundled sidewalk dataset (the "
                 "reference's COCO-pretrained best.pt is not in its repo; "
-                "its SavedModels are 4KB stubs); round-2 run warm-started "
-                "from the 12-epoch round-1 checkpoint, so effective epochs "
-                "= epochs_completed + 12",
+                "its SavedModels are 4KB stubs). Lineage: 12 round-1 epochs "
+                "-> round-2 run to epoch 40 (collapsed; archived in "
+                "runs/v8n_640_collapsed, see TRAINING.md) -> restart from "
+                "its healthy epoch-20 best with collapse guards, so "
+                "effective epochs = epochs_completed + 32",
     "reference_baseline": {
         "map50_mask": 0.8588, "map50_95_mask": 0.7337,
         "map50_box": 0.8644, "map50_95_box": 0.7751,
