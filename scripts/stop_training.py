@@ -32,7 +32,9 @@ def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
     interp = os.path.basename(argv[0])
     if interp not in ("bash", "sh", "python", "python3"):
         return False
-    return any(argv[1].endswith(t) for t in targets)
+    # Exact basename equality, not endswith: an unrelated script with a
+    # suffix-matching name (my_train_model.py) must not be killed (ADVICE r2).
+    return os.path.basename(argv[1]) in targets
 
 
 def scan(targets: tuple[str, ...]) -> list[int]:

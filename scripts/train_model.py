@@ -60,7 +60,7 @@ def main() -> int:
     # Multi-host scale-out is one env var away (VAT_COORDINATOR; no-op
     # otherwise) — must run before the first jax backend touch.
     from vision_assist_tpu.parallel.distributed import maybe_initialize
-    maybe_initialize()
+    multi = maybe_initialize()
 
     import jax
     import jax.numpy as jnp
@@ -113,9 +113,25 @@ def main() -> int:
 
     ds = SegDataset(args.data, "train",
                     cache_images=args.imgsz if args.cache_images else None)
-    loader = BatchLoader(ds, batch_size=args.batch, imgsz=args.imgsz,
-                         augment=True, seed=0)
-    steps_per_epoch = len(loader)
+    # Per-process data sharding (parallel/distributed.py): each process loads
+    # only its slice of the global batch; slices are assembled into global
+    # dp-sharded jax.Arrays below. Single-process: identity.
+    from vision_assist_tpu.parallel.distributed import (
+        globalize_batch,
+        local_loader_params,
+    )
+    local_bs, local_seed = local_loader_params(args.batch, seed=0)
+    loader = BatchLoader(ds, batch_size=local_bs, imgsz=args.imgsz,
+                         augment=True, seed=local_seed)
+    steps_per_epoch = len(ds) // args.batch  # GLOBAL steps per epoch
+    if multi:
+        from vision_assist_tpu.parallel.mesh import make_mesh, replicated
+        mesh = make_mesh()
+        # Params/optimizer replicated across the global mesh; XLA psums the
+        # dp-axis gradients over ICI/DCN.
+        place_state = lambda s: jax.device_put(s, replicated(mesh))
+    else:
+        mesh = None
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
                       imgsz=args.imgsz, lr0=args.lr0)
     model = YoloSeg(arch=args.arch, num_classes=1)
@@ -123,6 +139,8 @@ def main() -> int:
     t0 = time.time()
     state = create_train_state(model, jax.random.PRNGKey(0), cfg,
                                steps_per_epoch)
+    if multi:
+        state = place_state(state)
     jax.block_until_ready(state.params)
     print(f"train state ready in {time.time() - t0:.1f}s", flush=True)
     if args.resume:
@@ -158,7 +176,12 @@ def main() -> int:
         t0 = time.time()
         losses = []
         for si, batch in enumerate(loader.epoch(workers=args.workers)):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if si >= steps_per_epoch:
+                break  # local loader yields pcount x the global step count
+            if multi:
+                batch = globalize_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step(state, batch)
             losses.append(metrics)
             if (si + 1) % args.sync_every == 0:

@@ -4,6 +4,24 @@
 # TrainState checkpoint when one exists.
 OUT="${OUT:-runs/v8n_640}"
 ARGS=("$@")
+# A stale runs/STOP from a previous stop_training.py would make this loop
+# exit 0 immediately at both queue stages; a fresh launch is an explicit
+# request to train, so clear it (ADVICE r2: stale-STOP silent no-op).
+rm -f runs/STOP
+# Crash-atomic state recovery: dying between rename(state->state_prev) and
+# rename(state_new->state) leaves no $OUT/state and the resume silently
+# falls back to params-only (step 0). Orbax commits the directory by rename,
+# so whichever rotation dir exists is a complete checkpoint — prefer the
+# newer one (ADVICE r2).
+if [ ! -d "$OUT/state" ]; then
+  if [ -d "$OUT/state_new" ]; then
+    echo "recovering interrupted state rotation: state_new -> state"
+    mv "$OUT/state_new" "$OUT/state"
+  elif [ -d "$OUT/state_prev" ]; then
+    echo "recovering interrupted state rotation: state_prev -> state"
+    mv "$OUT/state_prev" "$OUT/state"
+  fi
+fi
 while true; do
   if [ -f runs/STOP ]; then
     echo "runs/STOP present; supervisor exiting"

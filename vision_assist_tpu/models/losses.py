@@ -159,7 +159,11 @@ def task_aligned_assign(pred_scores, pred_boxes, anchor_pts, gt_boxes,
     # actually pulls the prediction toward the GT.
     if cfg.tal_min_assign:
         floor = cfg.tal_min_assign_score
-        need_floor = (fallback.any(axis=1) & fg_mask
+        # Mask from the RESOLVED assignment (fallback & cand), not the raw
+        # fallback proposals: an anchor that lost its fallback claim to a
+        # genuine low-align TAL candidacy in conflict resolution must keep
+        # its earned soft target, not the inflated floor (ADVICE r2).
+        need_floor = ((fallback & cand).any(axis=1) & fg_mask
                       & (target_scores.sum(-1) < floor))     # (B, A)
         target_scores = jnp.where(
             need_floor[..., None],

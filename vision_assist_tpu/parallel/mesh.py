@@ -73,3 +73,17 @@ def shard_params(params, mesh: Mesh):
 def shard_batch(batch, mesh: Mesh):
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def proto_einsum_specs() -> tuple[P, P]:
+    """Activation shardings for the mask-assembly einsum
+    (models/decode.py::assemble_masks — coeffs (D, nm) x protos (H, W, nm)).
+
+    The contraction axis nm (the prototype channel) shards over 'mdl': each
+    device holds nm/mdl prototypes and its slice of every coefficient vector,
+    computes a partial (D, H, W) mask, and XLA inserts ONE psum over mdl.
+    This is the tensor-parallel consumer for the mdl axis beyond weight
+    sharding — exercised at mdl=2 with an equality assertion in
+    tests/test_distributed.py.
+    """
+    return P(None, "mdl"), P(None, None, "mdl")
