@@ -135,8 +135,18 @@ def test_wavefront_invariants(device_fields):
 # The wavefront engine uses the discovered effective cost (selected reference
 # paths pay zero angle penalty; dist*(1+0.5p) with an epsilon smoothness
 # tiebreaker — see PARITY.md). End-to-end answers agree with the bit-exact
-# golden on 12/13 fixtures; the remaining maze case picks a different
-# equal-cost corridor. Exact parity is served by the host/native engine.
+# golden on 12/13 fixtures. On insane_case the wavefront finds a path that is
+# STRICTLY CHEAPER under its own (Markovian) cost model — 3 cells differ with
+# lower summed penalty (0.6875 vs 0.9130) — while the reference prefers the
+# costlier corridor because its angle charge is non-Markovian: each edge
+# relaxation scans the WHOLE path-so-far (PathFinder.py:76: the loop runs over
+# every interior point, not a 7-point window) against a persistent cross-call
+# angle cache whose radians/degrees confusion zeroes repeated vector pairs.
+# No (cell x direction x bounded-history) state can reproduce that, so this
+# divergence is closed the other way: engine="exact_device" replicates the
+# whole quirk set on-chip and vmaps over streams — the batched 13/13-parity
+# mode (tests/test_multi_stream.py::test_exact_device_batched_matches_goldens
+# _13_of_13). The wavefront remains the approximate throughput engine.
 KNOWN_ANSWER_DIVERGENT = {"insane_case"}
 
 
