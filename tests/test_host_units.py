@@ -173,3 +173,27 @@ class TestSemantics:
         b = [(0, 0), (0, 1), (0, 2), (0, 3)]
         assert path_similarity(a, b) == 1.0
         assert path_similarity(a, [(5, 5)]) < 0.5
+
+
+def test_chip_quiet_status_shape():
+    """Every diagnostics artifact is stamped with chip-contention status
+    (VERDICT r2 #8); the detector itself never pattern-matches argv."""
+    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
+
+    st = chip_quiet_status()
+    assert set(st) == {"chip_quiet", "contenders"}
+    assert isinstance(st["chip_quiet"], bool)
+    for p in st["contenders"]:
+        assert set(p) == {"pid", "script"}
+
+
+def test_diagnostics_artifacts_carry_chip_quiet():
+    import json
+    import pathlib
+
+    d = pathlib.Path(__file__).resolve().parents[1] / "diagnostics"
+    files = sorted(d.glob("*.json"))
+    assert files, "diagnostics artifacts missing"
+    for f in files:
+        j = json.loads(f.read_text())
+        assert "chip_quiet" in j, f.name

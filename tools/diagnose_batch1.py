@@ -108,6 +108,8 @@ def main() -> None:
         out["trace_error"] = repr(e)
 
     path = pathlib.Path("diagnostics/batch1_latency.json")
+    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
+    out.update(chip_quiet_status())
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
 

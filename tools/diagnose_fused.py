@@ -101,6 +101,8 @@ def main() -> None:
 
     path = pathlib.Path("diagnostics/fused_latency.json")
     path.parent.mkdir(parents=True, exist_ok=True)
+    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
+    out.update(chip_quiet_status())
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
 

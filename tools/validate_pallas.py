@@ -103,6 +103,8 @@ def main() -> int:
     out["all_match"] = ok_all
     path = pathlib.Path("diagnostics/pallas_validation.json")
     path.parent.mkdir(parents=True, exist_ok=True)
+    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
+    out.update(chip_quiet_status())
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps({"all_match": ok_all}), flush=True)
     return 0 if ok_all else 1
