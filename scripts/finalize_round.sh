@@ -110,12 +110,22 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python -m pytest tests/test_model_goldens.py -q || true
 
+# Multi-frame VIDEO golden (temporal-memory effects across a pseudo-clip,
+# BASELINE config 2 spirit) with the promoted weights.
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python scripts/generate_video_golden.py || true
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python -m pytest tests/test_video_golden.py -q || true
+
 # Refresh latency diagnostics on the now-quiet chip (earlier numbers taken
 # while the trainer shared the relay are contaminated — see
 # diagnostics/batch1_latency.json).
 python tools/diagnose_latency.py || true
 python tools/diagnose_fused.py || true
 python tools/diagnose_batch1.py || true
+# All three pathfinding engines measured on the quiet chip — the served
+# default is a published, measured choice (diagnostics/engine_latency.json).
+python tools/diagnose_engines.py || true
 
 # End-to-end demo overlays on real val photos with the promoted weights
 # (one process, one compile).
