@@ -191,3 +191,32 @@ def test_wavefront_batches_with_vmap(goldens):
     for b, name in enumerate(names):
         _, gold = goldens[name]
         assert int(batched.valid[b].sum()) == len(gold.raw_paths)
+
+
+def test_relax_sweep_same_fixed_point_and_paths(device_fields):
+    """Fast-sweeping relaxation (the serving default) reaches the same
+    min-plus fixed point as the per-cell relaxation — float32 round-off on
+    reachable states, same reachability — and backtraces IDENTICAL paths on
+    every fixture."""
+    from vision_assist_tpu.planning.wavefront import (
+        backtrace,
+        relax,
+        relax_sweep,
+    )
+
+    for name, (walk, _, pen, pk, gold) in device_fields.items():
+        start = closest_walkable_cell(walk, jnp.array([FRAME_W // 2, FRAME_H]))
+        d1 = relax(walk, pen, start, angle_weight=1e-4)
+        d2 = relax_sweep(walk, pen, start, angle_weight=1e-4)
+        a1, a2 = np.asarray(d1), np.asarray(d2)
+        reach = a1 < 1e30
+        assert (a2[~reach] > 1e30).all(), name
+        np.testing.assert_allclose(a2[reach], a1[reach], rtol=1e-6, atol=2e-3,
+                                   err_msg=name)
+        for i in range(int(pk.valid.sum())):
+            goal = closest_walkable_cell(
+                walk, jnp.stack([pk.centre_x[i], pk.centre_y[i]]))
+            c1 = backtrace(d1, walk, start, goal, angle_weight=1e-4)
+            c2 = backtrace(d2, walk, start, goal, angle_weight=1e-4)
+            np.testing.assert_array_equal(
+                np.asarray(c1[0]), np.asarray(c2[0]), err_msg=name)

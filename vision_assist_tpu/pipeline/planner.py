@@ -125,6 +125,7 @@ def make_plan_step(cfg: PipelineConfig, replay_rounding: bool = False,
                 angle_exponent=pf.angle_exponent,
                 angle_denominator=pf.angle_denominator,
                 use_pallas=pf.use_pallas_relax,
+                use_sweep=pf.use_sweep_relax,
             )
         return PlanResult(walkable=walkable, artificial=artificial,
                           penalty=penalty, peaks=peaks, start_rc=start,

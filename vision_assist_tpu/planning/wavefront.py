@@ -151,6 +151,96 @@ def relax(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "grid_size", "penalty_weight", "angle_weight", "angle_grace_deg",
+    "angle_exponent", "angle_denominator", "max_passes"))
+def relax_sweep(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
+                *, grid_size: int = 20, penalty_weight: float = 0.5,
+                angle_weight: float = 1.5, angle_grace_deg: float = 30.0,
+                angle_exponent: float = 1.5, angle_denominator: float = 90.0,
+                max_passes: int | None = None) -> jax.Array:
+    """Fast-sweeping form of :func:`relax` — same unique min-plus fixed point,
+    far fewer iterations.
+
+    :func:`relax` propagates one cell per sweep, so a path of length L needs
+    ~L sweeps of tiny (R, C, 4) updates — loop overhead dominates on every
+    backend (and is why the Mosaic kernel couldn't win either: the algorithm,
+    not the launcher, was the bottleneck). Here each pass runs four
+    DIRECTIONAL scans (right, left, down, up, Gauss-Seidel order): a straight
+    corridor of any length is relaxed in ONE associative min-plus scan
+    (x[c] = min(A[c], x[c-1] + B[c]) composed as the affine min-plus
+    semigroup ((a1,b1)*(a2,b2) = (min(a2, a1+b2), b1+b2))), so convergence
+    takes O(turns along the optimal paths) passes instead of O(path length)
+    sweeps — typically <20 passes even on the maze fixtures vs up to
+    R*C capped sweeps for `relax`.
+    """
+    rows, cols = walkable.shape
+    w = walkable.astype(bool)
+    turn = jnp.asarray(
+        _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)
+        * (grid_size * angle_weight))
+    enter = jnp.where(
+        w, grid_size * (1.0 + penalty_weight * penalty.astype(jnp.float32)),
+        INF)
+
+    start_mask = (
+        (jnp.arange(rows)[:, None] == start_rc[0])
+        & (jnp.arange(cols)[None, :] == start_rc[1])
+    )
+    dist0 = jnp.where(start_mask[:, :, None], 0.0,
+                      jnp.full((rows, cols, 4), INF))
+
+    def _combine(earlier, later):
+        a1, b1 = earlier
+        a2, b2 = later
+        return jnp.minimum(a2, a1 + b2), b1 + b2
+
+    def _directional(dist, d):
+        """One scan for incoming-direction d; returns the updated d-slice."""
+        dr, dc = int(MOVES[d][0]), int(MOVES[d][1])
+        # h[r, c] = min_d' dist[r, c, d'] + turn[d', d]: best cost of being at
+        # (r, c) ready to step in direction d (turn charged at the corner).
+        h = jnp.min(dist + turn[:, d][None, None, :], axis=-1)
+        axis = 0 if dr != 0 else 1
+        flip = (dr + dc) < 0
+        if flip:
+            h = jnp.flip(h, axis)
+            ent = jnp.flip(enter, axis)
+            old = jnp.flip(dist[:, :, d], axis)
+        else:
+            ent = enter
+            old = dist[:, :, d]
+        # Shift h one step toward the scan origin: A[c] uses h at the parent.
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 0)
+        h_par = jnp.pad(h, pad, constant_values=INF)
+        h_par = jax.lax.slice_in_dim(h_par, 0, h.shape[axis], axis=axis)
+        a = jnp.minimum(old, h_par + ent)
+        new, _ = jax.lax.associative_scan(_combine, (a, ent), axis=axis)
+        if flip:
+            new = jnp.flip(new, axis)
+        return new
+
+    if max_passes is None:
+        max_passes = rows * cols
+
+    def body(carry):
+        dist, _, it = carry
+        new = dist
+        for d in range(4):  # Gauss-Seidel: later scans see earlier updates
+            new = new.at[:, :, d].set(_directional(new, d))
+        changed = jnp.any(new < dist)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_passes)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+    return dist
+
+
+@functools.partial(jax.jit, static_argnames=(
     "grid_size", "angle_grace_deg", "angle_exponent", "angle_denominator",
     "angle_weight", "max_len"))
 def backtrace(dist: jax.Array, walkable: jax.Array, start_rc: jax.Array,
@@ -207,30 +297,35 @@ def backtrace(dist: jax.Array, walkable: jax.Array, start_rc: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_size", "max_len", "penalty_weight", "angle_weight",
-    "angle_grace_deg", "angle_exponent", "angle_denominator", "use_pallas"))
+    "angle_grace_deg", "angle_exponent", "angle_denominator", "use_pallas",
+    "use_sweep"))
 def find_paths(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
                goals_rc: jax.Array, goals_valid: jax.Array,
                *, grid_size: int = 20, max_len: int = 512,
                penalty_weight: float = 0.5, angle_weight: float = 1.5,
                angle_grace_deg: float = 30.0, angle_exponent: float = 1.5,
                angle_denominator: float = 90.0,
-               use_pallas: bool = False) -> PathBatch:
-    """Paths from one start to K goal cells sharing a single relaxation."""
+               use_pallas: bool = False, use_sweep: bool = True) -> PathBatch:
+    """Paths from one start to K goal cells sharing a single relaxation.
+
+    The relaxation defaults to the fast-sweeping form (relax_sweep, ~4-8x
+    fewer device-loop iterations than relax — same fixed point, identical
+    backtraced paths on all 13 fixtures); use_sweep=False selects the plain
+    per-cell relaxation, use_pallas the Mosaic kernel.
+    """
+    kw = dict(grid_size=grid_size, penalty_weight=penalty_weight,
+              angle_weight=angle_weight, angle_grace_deg=angle_grace_deg,
+              angle_exponent=angle_exponent,
+              angle_denominator=angle_denominator)
     if use_pallas:
         # Lazy import: ops.pallas_wavefront imports from this module.
         from vision_assist_tpu.ops.pallas_wavefront import relax_pallas
 
-        dist = relax_pallas(
-            walkable, penalty, start_rc, grid_size=grid_size,
-            penalty_weight=penalty_weight, angle_weight=angle_weight,
-            angle_grace_deg=angle_grace_deg, angle_exponent=angle_exponent,
-            angle_denominator=angle_denominator)
+        dist = relax_pallas(walkable, penalty, start_rc, **kw)
+    elif use_sweep:
+        dist = relax_sweep(walkable, penalty, start_rc, **kw)
     else:
-        dist = relax(
-            walkable, penalty, start_rc, grid_size=grid_size,
-            penalty_weight=penalty_weight, angle_weight=angle_weight,
-            angle_grace_deg=angle_grace_deg, angle_exponent=angle_exponent,
-            angle_denominator=angle_denominator)
+        dist = relax(walkable, penalty, start_rc, **kw)
 
     def one(goal, gvalid):
         cells, length, cost, valid = backtrace(
