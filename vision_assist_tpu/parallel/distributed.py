@@ -8,7 +8,10 @@ the SAME mesh/sharding code works unchanged (SURVEY.md §2.4: the comm layer
 is a config change, not a rewrite).
 
 The reference has no distributed capability of any kind (SURVEY.md §2.4);
-this module is new capability.
+this module is new capability. Besides initialisation it owns the DATA half
+of the multi-process contract: per-process loader slicing + global-array
+assembly (local_loader_params / globalize_batch below), consumed by
+scripts/train_model.py.
 
 Environment contract (standard JAX multi-process variables):
   VAT_COORDINATOR       coordinator address host:port (enables the layer)
