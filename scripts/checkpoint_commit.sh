@@ -9,6 +9,8 @@
 # Recovery after a reset:
 #   git checkout ckpt -- assets/weights/   # newest snapshot
 OUT="${OUT:-runs/v8n_640}"
+# Asset basename for the snapshot (y11n stage: NAME=y11n_256_best).
+NAME="${NAME:-v8n_640_best}"
 INTERVAL="${INTERVAL:-1500}"
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p assets/weights
@@ -19,23 +21,23 @@ while true; do
   SRC="$OUT/best.msgpack"
   [ -f "$SRC" ] || SRC="$OUT/last.msgpack"
   [ -f "$SRC" ] || continue
-  cp "$SRC" assets/weights/v8n_640_best.msgpack.tmp
+  cp "$SRC" assets/weights/${NAME}.msgpack.tmp
   # Never snapshot torn files: the checkpoint must parse as msgpack and the
   # history copy must parse as JSON (the trainer writes both atomically now,
   # but older processes / partial copies are still guarded against).
   if ! PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "
 from flax import serialization
-serialization.msgpack_restore(open('assets/weights/v8n_640_best.msgpack.tmp','rb').read())
+serialization.msgpack_restore(open('assets/weights/${NAME}.msgpack.tmp','rb').read())
 " 2>/dev/null; then
-    rm -f assets/weights/v8n_640_best.msgpack.tmp
+    rm -f assets/weights/${NAME}.msgpack.tmp
     continue
   fi
-  SUM=$(sha256sum assets/weights/v8n_640_best.msgpack.tmp | cut -d' ' -f1)
+  SUM=$(sha256sum assets/weights/${NAME}.msgpack.tmp | cut -d' ' -f1)
   if [ "$SUM" = "$PREV_SUM" ]; then
-    rm -f assets/weights/v8n_640_best.msgpack.tmp
+    rm -f assets/weights/${NAME}.msgpack.tmp
     continue
   fi
-  mv assets/weights/v8n_640_best.msgpack.tmp assets/weights/v8n_640_best.msgpack
+  mv assets/weights/${NAME}.msgpack.tmp assets/weights/${NAME}.msgpack
   if [ -f "$OUT/history.json" ]; then
     cp "$OUT/history.json" assets/weights/history.json.tmp
     if python -c "import json,sys; json.load(open('assets/weights/history.json.tmp'))" 2>/dev/null; then
@@ -48,7 +50,7 @@ serialization.msgpack_restore(open('assets/weights/v8n_640_best.msgpack.tmp','rb
   export GIT_INDEX_FILE="$REPO_ROOT/.git/ckpt-index"
   rm -f "$GIT_INDEX_FILE"
   git read-tree HEAD 2>/dev/null
-  git update-index --add assets/weights/v8n_640_best.msgpack \
+  git update-index --add assets/weights/${NAME}.msgpack \
       $( [ -f assets/weights/history.json ] && echo assets/weights/history.json )
   TREE=$(git write-tree)
   COMMIT=$(echo "training checkpoint snapshot ($(date -u +%H:%M))" | \
