@@ -155,9 +155,15 @@ def main() -> None:
     sframes = frames[:streams]
     msp.process_frames(sframes, now_ms=0)  # compile
     reps = 12
+    bdepth = 2  # batch steps in flight: overlap transfer+chip with host half
+    bhandles = []
     t0 = time.perf_counter()
     for rep in range(reps):
-        msp.process_frames(sframes, now_ms=7000 + rep * 33)
+        bhandles.append(msp.submit_frames(sframes))
+        if len(bhandles) >= bdepth:
+            msp.retire_frames(bhandles.pop(0), now_ms=7000 + rep * 33)
+    while bhandles:
+        msp.retire_frames(bhandles.pop(0), now_ms=8000)
     batched_fps = streams * reps / (time.perf_counter() - t0)
     msp.close()
 

@@ -247,12 +247,21 @@ class FrameProcessor:
         Returns an opaque handle; pass it to retire_frame() to fetch and
         finish on the host. Keeping 2+ frames in flight overlaps the relay
         round trip with chip compute (the throughput path; per-frame latency
-        is still one round trip)."""
+        is still one round trip).
+
+        The frame is explicitly ``device_put`` first: handing raw numpy to
+        the jitted call makes the relay serialise the 1.2 MB frame inline in
+        the execute RPC (~20 ms, blocking — diagnostics/h2d_overlap.json),
+        while an explicit transfer is ~1.3 ms and asynchronous, so back-to-
+        back submits overlap transfer with chip compute."""
         if self.segmenter is None:
             raise ValueError(
                 "FrameProcessor was built without a segmenter; use "
                 "process_occupancy() for replay mode or pass a Segmenter.")
         self._ensure_fused()
+        if isinstance(frame_bgr, np.ndarray):
+            import jax
+            frame_bgr = jax.device_put(np.ascontiguousarray(frame_bgr))
         if self._astar_cache is not None:
             payload, self._astar_cache = self._fused(
                 self.segmenter.variables, frame_bgr, self._astar_cache)

@@ -156,10 +156,15 @@ class MultiStreamProcessor:
             ))
         return results
 
-    def process_frames(self, frames: np.ndarray,
-                       now_ms: int | Sequence[int] = 0) -> list[FrameResult]:
-        """frames: (num_streams, H, W, 3) uint8 BGR. One fused batched
-        program (segmentation + planning), one packed (S, N) transfer."""
+    def submit_frames(self, frames: np.ndarray):
+        """Dispatch the fused batched program for one (S, H, W, 3) uint8
+        batch WITHOUT waiting; returns an opaque handle for retire_frames().
+
+        The device-side A* caches chain submit-to-submit through device
+        dependencies, so several batch steps can be in flight at once —
+        retire in submit order. The batch is explicitly ``device_put`` so the
+        relay streams it asynchronously instead of serialising it inline in
+        the execute RPC (see FrameProcessor.submit_frame)."""
         import jax.numpy as jnp
 
         if self._fused_batched is None:
@@ -170,7 +175,13 @@ class MultiStreamProcessor:
                 self.segmenter.variables, frames_dev, self._stream_caches)
         else:
             packed = self._fused_batched(self.segmenter.variables, frames_dev)
-        payloads = [self._unpack(row) for row in np.asarray(packed)]
+        return packed
+
+    def retire_frames(self, handle,
+                      now_ms: int | Sequence[int] = 0) -> list[FrameResult]:
+        """Fetch one submitted batch (single packed (S, N) transfer) and run
+        the per-stream host halves."""
+        payloads = [self._unpack(row) for row in np.asarray(handle)]
 
         now = ([now_ms] * self.num_streams
                if np.isscalar(now_ms) else list(now_ms))
@@ -202,3 +213,11 @@ class MultiStreamProcessor:
                 n_detections=p.n_detections, best_conf=p.best_conf,
             ))
         return results
+
+    def process_frames(self, frames: np.ndarray,
+                       now_ms: int | Sequence[int] = 0) -> list[FrameResult]:
+        """frames: (num_streams, H, W, 3) uint8 BGR. One fused batched
+        program (segmentation + planning), one packed (S, N) transfer.
+        Synchronous submit_frames + retire_frames; pipeline the two for
+        throughput serving."""
+        return self.retire_frames(self.submit_frames(frames), now_ms)
