@@ -29,18 +29,20 @@ def closest_cell_to_point(walkable: np.ndarray, point_xy: tuple[int, int],
     """Row-major argmin of Euclidean distance from cell centres to a pixel point,
     strict-improvement tie-breaking. Reference: utils.py:6-32."""
     rows, cols = walkable.shape
-    best, best_d = None, math.inf
+    if not walkable.any():
+        return None
     px, py = point_xy
-    for r in range(rows):
-        for c in range(cols):
-            if not walkable[r, c]:
-                continue
-            cx, cy = c * grid_size + grid_size // 2, r * grid_size + grid_size // 2
-            d = math.sqrt((px - cx) ** 2 + (py - cy) ** 2)
-            if d < best_d:
-                best_d = d
-                best = (r, c)
-    return best
+    # Vectorised form of the reference's row-major scan with strict-improvement
+    # tie-breaking: np.argmin returns the FIRST row-major minimum, and the
+    # squared distances are exact integers so the correctly-rounded sqrt is
+    # bit-identical to the scalar math.sqrt loop.
+    cx = np.arange(cols) * grid_size + grid_size // 2
+    cy = np.arange(rows) * grid_size + grid_size // 2
+    d = np.sqrt((px - cx[None, :]).astype(np.float64) ** 2
+                + (py - cy[:, None]).astype(np.float64) ** 2)
+    d[~walkable] = np.inf
+    flat = int(np.argmin(d))
+    return flat // cols, flat % cols
 
 
 class AStarEngine:
