@@ -58,6 +58,19 @@ if best.exists() and best.read_bytes() != cand.read_bytes():
     results_path.write_text(json.dumps(result, indent=1))
 EOF
 
+# The snapshotter's history copy is a single-run recovery artifact with no
+# arch label; replace it with a labelled per-run dict now that both runs are
+# final.
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
+import json, pathlib
+out = {}
+for run in ("v8n_640", "y11n_256"):
+    p = pathlib.Path(f"runs/{run}/history.json")
+    if p.exists():
+        out[run] = json.loads(p.read_text())
+pathlib.Path("assets/weights/history.json").write_text(json.dumps(out))
+EOF
+
 for RUN in "$OUT"; do
   if [ -f "$RUN/history.json" ]; then
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/plot_training.py \
