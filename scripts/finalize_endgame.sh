@@ -59,10 +59,6 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/plot_training.py \
     "$OUT/history.json" -o "assets/v8n_640_training_curves.png" \
     --csv "assets/v8n_640_results.csv" || true
 
-# Bench first: it is the only chip-dependent artifact and the driver's
-# scoreboard; the CPU-side golden regeneration follows.
-python bench.py | tee BENCH_LOCAL.json
-
 if echo "$PROMOTED" | grep -q PROMOTED; then
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       python scripts/generate_model_goldens.py || true
@@ -74,3 +70,8 @@ if echo "$PROMOTED" | grep -q PROMOTED; then
       python -m pytest tests/test_video_golden.py -q || true
   python scripts/render_demo.py -n 6 --out assets/demo || true
 fi
+
+# Bench last: BENCH_LOCAL is a convenience copy — the scoreboard BENCH_r{N}
+# is captured by the driver after the round, with bench.py's own quiet-chip
+# guard. If the round clock cuts this step, nothing is inconsistent.
+python bench.py | tee BENCH_LOCAL.json
