@@ -102,7 +102,12 @@ def main() -> None:
     device = jax.devices()[0]
     frame_h = frame_w = 640  # the reference dataset's native resolution
 
-    cfg = PipelineConfig(frame_height=frame_h, frame_width=frame_w)
+    # Serving config: frames stream as YUV 4:2:0 (camera-native, 2.13x
+    # fewer transfer bytes; device converts back bit-exactly to cv2 —
+    # ops/yuv.py, tests/test_yuv.py). The host->device wire is this box's
+    # serving bottleneck, so the transfer format sets the throughput.
+    cfg = PipelineConfig(frame_height=frame_h, frame_width=frame_w,
+                         transfer_format="i420")
     variables = None
     if WEIGHTS.exists():
         from vision_assist_tpu.models.checkpoint import load_variables
@@ -133,8 +138,8 @@ def main() -> None:
         answers.append(res.final_answer)
     lat = np.asarray(lat)
 
-    # 2) throughput: depth-4 pipeline of submits, retire in order
-    depth = 4
+    # 2) throughput: depth-8 pipeline of submits, retire in order
+    depth = 8
     n_thr = 60
     handles = []
     t0 = time.perf_counter()
@@ -182,6 +187,7 @@ def main() -> None:
         "frames_with_detections": f"{det_frames}/{n_lat}",
         "weights": "trained" if WEIGHTS.exists() else "random-init",
         "engine": cfg.pathfinder.engine,
+        "transfer_format": cfg.transfer_format,
         "source": "reference valid split" if VAL_IMAGES.exists()
                   else "synthetic",
         "device": str(device),

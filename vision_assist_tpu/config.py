@@ -224,6 +224,12 @@ class PipelineConfig:
     process_every_n_frames: int = 15
     # Number of concurrent camera streams batched per jitted step.
     num_streams: int = 1
+    # Host->device frame transfer format. "bgr" ships the raw (H, W, 3)
+    # uint8 frame; "i420" ships the camera-native YUV 4:2:0 plane (2.13x
+    # fewer bytes, converted back to BGR on-device — ops/yuv.py). The
+    # serving paths (bench, main.py video) opt into "i420"; "bgr" stays the
+    # default so pinned goldens are bit-stable.
+    transfer_format: str = "bgr"
 
     @property
     def lattice_rows(self) -> int:

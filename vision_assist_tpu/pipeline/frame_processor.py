@@ -259,14 +259,28 @@ class FrameProcessor:
                 "FrameProcessor was built without a segmenter; use "
                 "process_occupancy() for replay mode or pass a Segmenter.")
         self._ensure_fused()
+        if self.cfg.transfer_format == "i420":
+            if not isinstance(frame_bgr, np.ndarray):
+                raise ValueError(
+                    "transfer_format='i420' needs a host numpy BGR frame "
+                    "(the I420 packing happens host-side)")
+            from vision_assist_tpu.ops.yuv import bgr_to_i420_host
+            frame_bgr = bgr_to_i420_host(frame_bgr)
         if isinstance(frame_bgr, np.ndarray):
             import jax
             frame_bgr = jax.device_put(np.ascontiguousarray(frame_bgr))
         if self._astar_cache is not None:
             payload, self._astar_cache = self._fused(
                 self.segmenter.variables, frame_bgr, self._astar_cache)
-            return payload
-        return self._fused(self.segmenter.variables, frame_bgr)
+        else:
+            payload = self._fused(self.segmenter.variables, frame_bgr)
+        # Enqueue the device->host copy NOW, behind the execute, so it
+        # streams while later frames compute. A lone blocking fetch at
+        # retire time stalls ~27 ms in the relay's flush path even when
+        # the value is ready (diagnostics/h2d_overlap.json); an async
+        # copy issued at submit costs ~0.
+        payload.copy_to_host_async()
+        return payload
 
     def retire_frame(self, handle, now_ms: int | None = None,
                      frame: np.ndarray | None = None) -> FrameResult | None:

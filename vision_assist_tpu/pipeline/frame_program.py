@@ -101,9 +101,20 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
         pos += n
     total = pos
 
-    def device_fn(variables, frame_bgr, astar_cache=None):
+    i420 = getattr(cfg, "transfer_format", "bgr") == "i420"
+
+    def device_fn(variables, frame, astar_cache=None):
         """exact_device mode takes/returns the device-resident angle cache
-        as a third argument: (payload, cache_out) instead of payload."""
+        as a third argument: (payload, cache_out) instead of payload.
+
+        ``frame`` is (H, W, 3) uint8 BGR, or the packed (H*3/2, W) uint8
+        I420 plane when cfg.transfer_format == "i420" (the camera-native
+        format at 2.13x fewer transfer bytes — ops/yuv.py)."""
+        if i420:
+            from vision_assist_tpu.ops.yuv import i420_to_bgr
+            frame_bgr = i420_to_bgr(frame, cfg.frame_height, cfg.frame_width)
+        else:
+            frame_bgr = frame
         seg = segmenter._frame_chain(variables, frame_bgr)
         pr = (plan(seg.occupancy, astar_cache) if exact_device
               else plan(seg.occupancy))

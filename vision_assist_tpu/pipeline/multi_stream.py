@@ -169,12 +169,20 @@ class MultiStreamProcessor:
 
         if self._fused_batched is None:
             raise ValueError("MultiStreamProcessor built without a segmenter")
+        if self.cfg.transfer_format == "i420":
+            from vision_assist_tpu.ops.yuv import bgr_to_i420_host
+            frames = np.stack([bgr_to_i420_host(np.asarray(f))
+                               for f in frames])
         frames_dev = self._shard(jnp.asarray(frames))
         if self._stream_caches is not None:
             packed, self._stream_caches = self._fused_batched(
                 self.segmenter.variables, frames_dev, self._stream_caches)
         else:
             packed = self._fused_batched(self.segmenter.variables, frames_dev)
+        # Enqueue the (S, N) payload's device->host copy behind the execute
+        # so retire_frames never issues a lone blocking fetch (~27 ms relay
+        # flush stall; see FrameProcessor.submit_frame).
+        packed.copy_to_host_async()
         return packed
 
     def retire_frames(self, handle,
