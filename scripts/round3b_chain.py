@@ -168,6 +168,11 @@ def main() -> None:
     else:
         v8n_promoted = False
 
+    # Quiet-chip window between the runs: capture the wire-model diagnostic
+    # (PERFORMANCE.md "Round 3b" evidence) while nothing contends the relay.
+    if not (REPO / "diagnostics/wire_model.json").exists():
+        sh(sys.executable, "tools/diagnose_wire.py", check=False)
+
     # Stage 3: y11n 300-epoch fresh schedule (skip if already promoted by a
     # previous incarnation of this script).
     y11n_done = any(
