@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--lr0", type=float, default=0.01)
     ap.add_argument("--close-mosaic", type=int, default=10)
+    ap.add_argument("--wire-format", choices=["bgr", "i420"], default="bgr",
+                    help="batch image format over the relay; i420 ships "
+                         "2.13x fewer bytes (and leaks 2.13x less host RSS) "
+                         "with on-device conversion, PERFORMANCE.md Round 3b")
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--eval-images", type=int, default=256)
     ap.add_argument("--out", default="runs/seg")
@@ -122,7 +126,8 @@ def main() -> int:
     )
     local_bs, local_seed = local_loader_params(args.batch, seed=0)
     loader = BatchLoader(ds, batch_size=local_bs, imgsz=args.imgsz,
-                         augment=True, seed=local_seed)
+                         augment=True, seed=local_seed,
+                         wire_format=args.wire_format)
     steps_per_epoch = len(ds) // args.batch  # GLOBAL steps per epoch
     if multi:
         from vision_assist_tpu.parallel.mesh import make_mesh, replicated
@@ -133,7 +138,8 @@ def main() -> int:
     else:
         mesh = None
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch,
-                      imgsz=args.imgsz, lr0=args.lr0)
+                      imgsz=args.imgsz, lr0=args.lr0,
+                      wire_format=args.wire_format)
     model = YoloSeg(arch=args.arch, num_classes=1)
     print(f"dataset cached; creating train state...", flush=True)
     t0 = time.time()

@@ -35,8 +35,12 @@ class BatchLoader:
                  imgsz: int = 640, mask_ratio: int = 4,
                  max_instances: int = 32, augment: bool = True,
                  aug: AugmentConfig | None = None, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, wire_format: str = "bgr"):
         self.ds = dataset
+        # "i420": pack batch images to the (B, S*3/2, S) YUV 4:2:0 plane
+        # (cv2, ~0.3 ms/img) so 2.13x fewer bytes cross the relay per step;
+        # the train step converts back on-device (models/train.py).
+        self.wire_format = wire_format
         self.batch_size = batch_size
         self.imgsz = imgsz
         self.mask_hw = (imgsz // mask_ratio, imgsz // mask_ratio)
@@ -132,6 +136,12 @@ class BatchLoader:
                 polys, np.asarray(cls, np.int32), (s, s), (mh, mw),
                 self.max_instances)
             masks[i], boxes[i], classes[i], valid[i] = m, bx, cl, vd
+        if self.wire_format == "i420":
+            from vision_assist_tpu.ops.yuv import bgr_to_i420_host
+            packed = np.empty((b, s * 3 // 2, s), np.uint8)
+            for i in range(b):
+                packed[i] = bgr_to_i420_host(images[i])
+            images = packed
         return {"images": images, "masks": masks, "boxes": boxes,
                 "classes": classes, "valid": valid, "hsv_gains": hsv_gains}
 

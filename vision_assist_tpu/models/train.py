@@ -36,6 +36,12 @@ class TrainConfig:
     warmup_epochs: float = 3.0
     ema_decay: float = 0.9999
     ema_ramp: float = 2000.0
+    # Host->device batch image format: "bgr" ships (B, S, S, 3) uint8;
+    # "i420" ships the packed (B, S*3/2, S) YUV 4:2:0 plane (2.13x fewer
+    # wire bytes AND 2.13x less relay-client leak per step — the wire is
+    # the epoch bottleneck on this box, PERFORMANCE.md "Round 3b") and
+    # converts on-device exactly like the serving path (ops/yuv.py).
+    wire_format: str = "bgr"
 
 
 class TrainState(struct.PyTreeNode):
@@ -119,7 +125,13 @@ def make_train_step(model: YoloSeg, loss_cfg: LossConfig, cfg: TrainConfig):
     """Returns the jitted train step (state, batch) -> (state, metrics)."""
 
     def step_fn(state: TrainState, batch):
-        images = batch["images"].astype(jnp.float32) / 255.0
+        images = batch["images"]
+        if cfg.wire_format == "i420":
+            from vision_assist_tpu.ops.yuv import i420_to_bgr
+
+            images = jax.vmap(
+                lambda p: i420_to_bgr(p, cfg.imgsz, cfg.imgsz))(images)
+        images = images.astype(jnp.float32) / 255.0
         if "hsv_gains" in batch:
             # Device-side photometric augmentation (data/augment_device.py):
             # the loader ships BGR uint8 + per-image HSV gains; channel
