@@ -36,6 +36,16 @@ def sh(*cmd, check=True, env=None):
     return subprocess.run(list(map(str, cmd)), cwd=REPO, check=check, env=env)
 
 
+def stop_flag_status(fresh_s: int = 1800) -> str:
+    """'fresh' | 'stale' | 'absent' for the cooperative runs/STOP flag."""
+    stop = REPO / "runs/STOP"
+    try:
+        age = time.time() - stop.stat().st_mtime
+    except OSError:
+        return "absent"
+    return "fresh" if age < fresh_s else "stale"
+
+
 def wait_for_training_idle(poll_s: int = 120) -> None:
     import stop_training
 
@@ -43,9 +53,57 @@ def wait_for_training_idle(poll_s: int = 120) -> None:
         live = stop_training.scan(stop_training.SUPERVISORS
                                   + stop_training.TRAINERS)
         if not live:
+            # A fresh runs/STOP means someone (bench.py / the driver's
+            # scoreboard run) parked training and wants the chip quiet;
+            # the chain must not start its own chip-heavy stage inside
+            # that window. A stale flag (>30 min) is debris from a
+            # finished bench: clear it and continue.
+            status = stop_flag_status()
+            if status == "fresh":
+                print("runs/STOP fresh (chip reserved); waiting...",
+                      flush=True)
+                time.sleep(poll_s)
+                continue
+            if status == "stale":
+                (REPO / "runs/STOP").unlink(missing_ok=True)
             return
         print(f"training live ({len(live)} proc), waiting...", flush=True)
         time.sleep(poll_s)
+
+
+def last_epoch(run_dir: pathlib.Path) -> int:
+    h = run_dir / "history.json"
+    try:
+        hist = json.loads(h.read_text())
+    except (OSError, json.JSONDecodeError):
+        return 0
+    return hist[-1]["epoch"] if hist else 0
+
+
+def wait_run_complete(run_dir: pathlib.Path, target_epochs: int,
+                      relaunch, max_relaunch: int = 4) -> None:
+    """Wait until run_dir's schedule completes (or supervision truly died).
+
+    If training goes idle early because it was cooperatively parked (the
+    round-end bench raises runs/STOP), relaunch the supervisor once the
+    flag goes stale — the park costs at most one epoch (state checkpoints
+    every epoch) and the schedule still completes. max_relaunch bounds a
+    genuinely-crashing trainer (the supervisor exits on real failures)."""
+    relaunches = 0
+    while True:
+        wait_for_training_idle()
+        done = last_epoch(run_dir)
+        if done >= target_epochs or relaunches >= max_relaunch:
+            if done < target_epochs:
+                print(f"run {run_dir.name} stopped at epoch "
+                      f"{done}/{target_epochs}; giving up on relaunches",
+                      flush=True)
+            return
+        print(f"run {run_dir.name} parked at epoch {done}/{target_epochs}; "
+              "relaunching supervisor", flush=True)
+        relaunch()
+        relaunches += 1
+        time.sleep(300)
 
 
 def full_eval(arch: str, imgsz: int, ckpt: pathlib.Path) -> dict:
@@ -146,9 +204,34 @@ def commit(msg: str) -> None:
        "audited chain script; code paths unchanged", check=False)
 
 
+def launch_supervised(out: str, snap_name: str, args: list[str],
+                      log_name: str) -> None:
+    """(Re)launch the crash-resuming supervisor + ckpt-ref snapshotter."""
+    import os
+    env = {**os.environ, "OUT": out}
+    log = open(REPO / "runs" / log_name, "ab")
+    subprocess.Popen(["bash", "scripts/train_supervised.sh", *args],
+                     cwd=REPO, env=env, stdout=log, stderr=log)
+    snap_env = {**os.environ, "OUT": out, "NAME": snap_name}
+    subprocess.Popen(["bash", "scripts/checkpoint_commit.sh"],
+                     cwd=REPO, env=snap_env, stdout=log, stderr=log)
+
+
+V8N_ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
+            "--max-rss-gb", "100",
+            "--resume", "assets/weights/v8n_640_best.msgpack"]
+Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
+             "--batch", "64", "--eval-every", "20", "--eval-images", "256",
+             "--max-rss-gb", "100",
+             "--resume", "assets/weights/y11n_256_best.msgpack"]
+
+
 def main() -> None:
     # Stage 1+2: v8n restart.
-    wait_for_training_idle()
+    wait_run_complete(
+        REPO / "runs/v8n_640_r2", 120,
+        lambda: launch_supervised("runs/v8n_640_r2", "v8n_640_r2_best",
+                                  V8N_ARGS, "chain_v8n_r2.log"))
     if (REPO / "runs/v8n_640_r2/last.msgpack").exists():
         done = any(r.get("note", "").startswith("fresh 120-epoch")
                    for r in json.loads(RESULTS.read_text())
@@ -180,22 +263,12 @@ def main() -> None:
         for r in json.loads(RESULTS.read_text())["second_arch"]
         .get("restart_runs", []))
     if not y11n_done:
-        import os
-        env = {**os.environ, "OUT": "runs/y11n_256_r2"}
-        log = open(REPO / "runs/chain_y11n_r2.log", "ab")
-        subprocess.Popen(
-            ["bash", "scripts/train_supervised.sh", "--arch", "yolo11n-seg",
-             "--imgsz", "256", "--epochs", "300", "--batch", "64",
-             "--eval-every", "20", "--eval-images", "256",
-             "--max-rss-gb", "100",
-             "--resume", "assets/weights/y11n_256_best.msgpack"],
-            cwd=REPO, env=env, stdout=log, stderr=log)
-        snap_env = {**os.environ, "OUT": "runs/y11n_256_r2",
-                    "NAME": "y11n_256_r2_best"}
-        subprocess.Popen(["bash", "scripts/checkpoint_commit.sh"],
-                         cwd=REPO, env=snap_env, stdout=log, stderr=log)
+        launch_y11n = lambda: launch_supervised(  # noqa: E731
+            "runs/y11n_256_r2", "y11n_256_r2_best", Y11N_ARGS,
+            "chain_y11n_r2.log")
+        launch_y11n()
         time.sleep(300)
-        wait_for_training_idle()
+        wait_run_complete(REPO / "runs/y11n_256_r2", 300, launch_y11n)
         y11n_promoted = promote(
             REPO / "runs/y11n_256_r2", "yolo11n-seg", 256,
             "y11n_256_best.msgpack", "second_arch",
