@@ -69,3 +69,20 @@ class TestVideoCLI:
         assert "processing summary" in out
         assert "frames processed: 3" in out
         assert (tmp_path / "timing.txt").exists()
+
+    def test_pipelined_depth(self, clip, tmp_path, capsys):
+        """--depth >1 routes through StreamingServer: same number of
+        answers, reported as throughput, in submit order."""
+        from vision_assist_tpu.main import main
+
+        rc = main([
+            "video", "--source", str(clip), "--every-n", "20",
+            "--camera-fps", "10000", "--engine", "wavefront",
+            "--depth", "2", "--output", str(tmp_path),
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "processing summary (pipelined)" in out
+        assert "frames submitted: 3" in out
+        assert "frames answered:  3" in out
+        assert "throughput:" in out
