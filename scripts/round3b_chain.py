@@ -222,7 +222,7 @@ V8N_ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
             "--resume", "assets/weights/v8n_640_best.msgpack"]
 Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
              "--batch", "64", "--eval-every", "20", "--eval-images", "256",
-             "--max-rss-gb", "100",
+             "--max-rss-gb", "100", "--wire-format", "i420",
              "--resume", "assets/weights/y11n_256_best.msgpack"]
 
 

@@ -141,6 +141,43 @@ class TestData:
                 content[:, 2].astype(int).sum()
 
 
+    def test_wire_format_i420_matches_bgr(self, tmp_path):
+        """wire_format='i420' ships the packed YUV plane; unpacked on
+        device it must match the bgr wire to within chroma subsampling
+        (the train step consumes it via the same ops/yuv.py kernel)."""
+        cv2 = pytest.importorskip("cv2")
+        from vision_assist_tpu.data.dataset import SegDataset
+        from vision_assist_tpu.data.loader import BatchLoader
+        from vision_assist_tpu.ops.yuv import i420_to_bgr
+
+        (tmp_path / "train" / "images").mkdir(parents=True)
+        (tmp_path / "train" / "labels").mkdir(parents=True)
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+            img = cv2.GaussianBlur(img, (5, 5), 0)  # camera-like smoothness
+            cv2.imwrite(str(tmp_path / "train" / "images" / f"i{i}.jpg"),
+                        img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            (tmp_path / "train" / "labels" / f"i{i}.txt").write_text(
+                "0 0.1 0.1 0.4 0.1 0.4 0.4 0.1 0.4\n")
+        ds = SegDataset(tmp_path, "train")
+        kw = dict(batch_size=4, imgsz=64, augment=True, seed=0)
+        bgr = BatchLoader(ds, **kw)._pack(np.arange(4),
+                                          np.random.default_rng(5))
+        i420 = BatchLoader(ds, wire_format="i420",
+                           **kw)._pack(np.arange(4),
+                                       np.random.default_rng(5))
+        assert i420["images"].shape == (4, 96, 64)  # packed 64*3/2 plane
+        # identical augmentation draws -> same labels
+        np.testing.assert_array_equal(bgr["boxes"], i420["boxes"])
+        np.testing.assert_array_equal(bgr["hsv_gains"], i420["hsv_gains"])
+        unpacked = np.asarray(jax.vmap(
+            lambda p: i420_to_bgr(p, 64, 64))(jnp.asarray(i420["images"])))
+        # chroma subsampling: luma-accurate, small mean error overall
+        err = np.abs(unpacked.astype(int) - bgr["images"].astype(int))
+        assert err.mean() < 6.0 and np.median(err) <= 2.0
+
+
 class TestLosses:
     def test_ciou_perfect_overlap(self):
         b = jnp.asarray([[0.0, 0, 10, 10]])
@@ -239,6 +276,44 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         # Overfitting a single tiny batch must reduce the loss.
         assert losses[-1] < losses[0]
+
+    def test_train_step_i420_wire_matches_bgr(self):
+        """cfg.wire_format='i420' unpacks on-device; gradients must match
+        a bgr step fed the unpacked images exactly (same compute graph
+        after conversion)."""
+        from vision_assist_tpu.ops.yuv import bgr_to_i420_host, i420_to_bgr
+
+        cfg = TrainConfig(imgsz=64, batch_size=2, lr0=0.01, warmup_epochs=0)
+        model = YoloSeg(arch="yolov8n-seg", num_classes=1)
+        state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                   steps_per_epoch=10)
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+        planes = np.stack([bgr_to_i420_host(f) for f in imgs])
+        masks = np.zeros((2, 16, 16), np.uint8)
+        masks[:, 2:10, 2:10] = 1
+        common = {
+            "boxes": jnp.tile(jnp.asarray([[8.0, 8, 40, 40]]), (2, 4, 1)),
+            "classes": jnp.zeros((2, 4), jnp.int32),
+            "valid": jnp.asarray(np.tile([True, False, False, False],
+                                         (2, 1))),
+            "masks": jnp.asarray(masks),
+        }
+        import dataclasses
+        step_i420 = make_train_step(
+            model, LossConfig(mask_topk=8),
+            dataclasses.replace(cfg, wire_format="i420"))
+        s1, m1 = step_i420(state, {"images": jnp.asarray(planes), **common})
+        # bgr step on the device-unpacked images == the i420 step (the
+        # step donates its state, so rebuild an identical one)
+        state2 = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                    steps_per_epoch=10)
+        unpacked = jax.vmap(lambda p: i420_to_bgr(p, 64, 64))(
+            jnp.asarray(planes))
+        step_bgr = make_train_step(model, LossConfig(mask_topk=8), cfg)
+        s2, m2 = step_bgr(state2, {"images": unpacked, **common})
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
 
     def test_tal_min_assign_rescues_dead_model(self):
         """A predict-nothing model (degenerate far-away boxes, ~zero scores)
