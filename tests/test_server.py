@@ -53,3 +53,33 @@ class TestStreamingServer:
         cfg, seg = _setup()
         with pytest.raises(ValueError):
             StreamingServer(FrameProcessor(cfg, segmenter=seg), depth=0)
+
+
+class TestBatchedStreamingServer:
+    def test_matches_sync_steps(self):
+        from vision_assist_tpu.pipeline.multi_stream import (
+            MultiStreamProcessor,
+        )
+        from vision_assist_tpu.pipeline.server import BatchedStreamingServer
+
+        cfg, seg = _setup()
+        cfg = cfg.replace(num_streams=2)
+        steps = [_frames(2) for _ in range(4)]
+
+        sync = MultiStreamProcessor(cfg, segmenter=seg)
+        expected = [[r.final_answer
+                     for r in sync.process_frames(s, now_ms=i * 33)]
+                    for i, s in enumerate(steps)]
+        sync.close()
+
+        srv = BatchedStreamingServer(
+            MultiStreamProcessor(cfg, segmenter=seg), depth=2)
+        got = []
+        for i, s in enumerate(steps):
+            got.extend([[r.final_answer for r in step]
+                        for step in srv.feed(s, now_ms=i * 33)])
+        got.extend([[r.final_answer for r in step]
+                    for step in srv.drain()])
+        srv.msp.close()
+        assert got == expected
+        assert srv.in_flight == 0
