@@ -218,7 +218,7 @@ def launch_supervised(out: str, snap_name: str, args: list[str],
 
 
 V8N_ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
-            "--max-rss-gb", "100",
+            "--max-rss-gb", "100", "--wire-format", "i420",
             "--resume", "assets/weights/v8n_640_best.msgpack"]
 Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
              "--batch", "64", "--eval-every", "20", "--eval-images", "256",
