@@ -227,6 +227,16 @@ Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
 
 
 def main() -> None:
+    # The chain's chip stages (full_eval in-process; train_supervised.sh,
+    # diagnose_wire.py and bench.py via inherited env) need the real TPU
+    # platform. A launcher that set the CPU-side overrides (JAX_PLATFORMS=cpu
+    # / PALLAS_AXON_POOL_IPS=) would silently turn the y11n training stage
+    # and the 1059-image full evals into one-core CPU jobs — scrub them here;
+    # regen_artifacts() re-adds them explicitly for its CPU-only steps.
+    import os
+    os.environ.pop("JAX_PLATFORMS", None)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
     # Stage 1+2: v8n restart.
     wait_run_complete(
         REPO / "runs/v8n_640_r2", 120,
