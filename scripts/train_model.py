@@ -175,7 +175,11 @@ def main() -> int:
         print(f"continuing at epoch {start_epoch + 1}", flush=True)
 
     for epoch in range(start_epoch, args.epochs):
-        if args.epochs - epoch == args.close_mosaic and loader.mosaic_enabled:
+        # <= not ==: a supervisor restart inside the closed-mosaic window
+        # builds a fresh loader (mosaic_enabled=True) at an epoch where the
+        # equality never fires again, silently re-opening mosaic for the
+        # final anneal — the exact epochs it must stay closed.
+        if args.epochs - epoch <= args.close_mosaic and loader.mosaic_enabled:
             loader.mosaic_enabled = False
             print("mosaic closed", flush=True)
 
