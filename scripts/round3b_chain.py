@@ -173,7 +173,8 @@ def regen_artifacts(v8n_promoted: bool, y11n_promoted: bool) -> None:
     env = {**os.environ, **cpu}
     # Labelled history snapshot over every finished run.
     out = {}
-    for run in ("v8n_640", "y11n_256", "v8n_640_r2", "y11n_256_r2"):
+    for run in ("v8n_640", "y11n_256", "v8n_640_r2", "y11n_256_r2",
+                "v8n_640_polish", "y11n_256_polish"):
         p = REPO / "runs" / run / "history.json"
         if p.exists():
             out[run] = json.loads(p.read_text())
