@@ -77,6 +77,8 @@ def load_frames(n: int, hw: tuple[int, int]) -> np.ndarray:
         import cv2
         for i, p in enumerate(paths):
             img = cv2.imread(str(p))
+            if img is None:  # corrupt/truncated file: keep the zero frame
+                continue
             ih, iw = img.shape[:2]
             if (ih, iw) != (h, w):
                 img = cv2.resize(img, (w, h))
@@ -138,17 +140,17 @@ def main() -> None:
         answers.append(res.final_answer)
     lat = np.asarray(lat)
 
-    # 2) throughput: depth-8 pipeline of submits, retire in order
+    # 2) throughput: depth-8 pipeline, driven through the SAME public API
+    # main.py video --depth uses (pipeline.server.StreamingServer) so the
+    # benched path cannot drift from the served one.
+    from vision_assist_tpu.pipeline.server import StreamingServer
     depth = 8
     n_thr = 60
-    handles = []
+    srv = StreamingServer(fp, depth=depth)
     t0 = time.perf_counter()
     for i in range(n_thr):
-        handles.append(fp.submit_frame(frames[i % n_frames]))
-        if len(handles) >= depth:
-            fp.retire_frame(handles.pop(0), now_ms=3000 + i * 33)
-    while handles:
-        fp.retire_frame(handles.pop(0), now_ms=6000)
+        srv.feed(frames[i % n_frames], now_ms=3000 + i * 33)
+    srv.drain(now_ms=6000)
     fps = n_thr / (time.perf_counter() - t0)
 
     # 3) batched multi-stream serving (BASELINE config 5): 8 camera streams
@@ -161,14 +163,12 @@ def main() -> None:
     msp.process_frames(sframes, now_ms=0)  # compile
     reps = 12
     bdepth = 2  # batch steps in flight: overlap transfer+chip with host half
-    bhandles = []
+    from vision_assist_tpu.pipeline.server import BatchedStreamingServer
+    bsrv = BatchedStreamingServer(msp, depth=bdepth)
     t0 = time.perf_counter()
     for rep in range(reps):
-        bhandles.append(msp.submit_frames(sframes))
-        if len(bhandles) >= bdepth:
-            msp.retire_frames(bhandles.pop(0), now_ms=7000 + rep * 33)
-    while bhandles:
-        msp.retire_frames(bhandles.pop(0), now_ms=8000)
+        bsrv.feed(sframes, now_ms=7000 + rep * 33)
+    bsrv.drain(now_ms=8000)
     batched_fps = streams * reps / (time.perf_counter() - t0)
     msp.close()
 

@@ -18,8 +18,8 @@ TRAINING_RESULTS.json, so the script can be relaunched after a crash.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
-import subprocess
 import sys
 import time
 
@@ -46,12 +46,22 @@ Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "60",
 
 
 def r3b_chain_alive() -> bool:
-    try:
-        pid = int(pathlib.Path("/tmp/chain.pid").read_text().strip())
-        cmdline = pathlib.Path(f"/proc/{pid}/cmdline").read_bytes()
-    except (OSError, ValueError):
-        return False
-    return b"round3b_chain" in cmdline
+    """Exact-argv /proc scan (same discipline as stop_training.py) — a pid
+    file is only as reliable as the launcher that remembered to write it,
+    and a missed interlock would run two chains' chip stages and
+    TRAINING_RESULTS read-modify-writes concurrently."""
+    me = str(os.getpid())
+    for p in pathlib.Path("/proc").iterdir():
+        if not p.name.isdigit() or p.name == me:
+            continue
+        try:
+            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
+        except OSError:
+            continue
+        if len(argv) >= 2 and argv[0].startswith(b"python") \
+                and argv[1].endswith(b"round3b_chain.py"):
+            return True
+    return False
 
 
 def stage_done(results_key: str, note_prefix: str) -> bool:
@@ -100,12 +110,7 @@ def main() -> None:
 
     chain.regen_artifacts(v8n_promoted, y11n_promoted)
     if v8n_promoted or y11n_promoted:
-        r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
-                           capture_output=True, text=True)
-        for line in r.stdout.splitlines():
-            if line.startswith('{"metric"'):
-                (REPO / "BENCH_LOCAL.json").write_text(line + "\n")
-        print(r.stdout[-2000:], flush=True)
+        chain.run_bench()
     chain.commit("Polish-chain artifacts (stage-5 fine-tune endgame)")
 
 

@@ -198,6 +198,16 @@ def regen_artifacts(v8n_promoted: bool, y11n_promoted: bool) -> None:
            "--out", "assets/demo", check=False)
 
 
+def run_bench() -> None:
+    """Run bench.py on the (now quiet) chip; record its one JSON line."""
+    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
+                       capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if line.startswith('{"metric"'):
+            (REPO / "BENCH_LOCAL.json").write_text(line + "\n")
+    print(r.stdout[-2000:], flush=True)
+
+
 def commit(msg: str) -> None:
     sh("git", "add", "-A", check=False)
     sh("git", "commit", "-m", msg +
@@ -293,12 +303,7 @@ def main() -> None:
 
     # Stage 4: artifacts + bench.
     regen_artifacts(v8n_promoted, y11n_promoted)
-    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
-                       capture_output=True, text=True)
-    for line in r.stdout.splitlines():
-        if line.startswith('{"metric"'):
-            (REPO / "BENCH_LOCAL.json").write_text(line + "\n")
-    print(r.stdout[-2000:], flush=True)
+    run_bench()
     commit("Endgame artifacts after the r3b training chain")
 
 

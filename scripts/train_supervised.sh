@@ -33,8 +33,14 @@ while true; do
   elif [ -f "$OUT/last.msgpack" ]; then
     RESUME=(--resume "$OUT/last.msgpack")
   fi
+  # RESUME after ARGS: argparse is last-wins, and chain launchers put their
+  # own "--resume assets/weights/<best>" in ARGS. On a crash-restart the
+  # run's OWN progress ($OUT/state, else $OUT/last.msgpack) must take
+  # precedence over the schedule's initial checkpoint, or a damaged run
+  # silently restarts from the committed best at step 0 while history.json
+  # still claims high epochs.
   python scripts/train_model.py --out "$OUT" --save-state-every 1 \
-      "${RESUME[@]}" "${ARGS[@]}"
+      "${ARGS[@]}" "${RESUME[@]}"
   code=$?
   # Restart-and-resume on: 42 (in-process watchdog / RSS hygiene),
   # 137 (SIGKILL, i.e. the kernel OOM killer — the relay client leaks host

@@ -24,7 +24,11 @@ def _frames(n, h, w, seed=0):
 
 class TestI420Conversion:
     def test_matches_cv2_exactly(self):
-        for seed, (h, w) in enumerate([(64, 48), (128, 96), (60, 100)]):
+        # (70, 48) and (270, 96): h % 4 == 2, where the U/V runs do not
+        # fall on whole rows of the packed plane (regression: row-sliced
+        # unpack crashed on these).
+        for seed, (h, w) in enumerate([(64, 48), (128, 96), (60, 100),
+                                       (70, 48), (270, 96)]):
             frame = _frames(1, h, w, seed)[0]
             plane = bgr_to_i420_host(frame)
             assert plane.shape == i420_shape(h, w)

@@ -58,8 +58,13 @@ def i420_to_bgr(plane, h: int, w: int):
     import jax.numpy as jnp
 
     y = plane[:h].astype(jnp.float32)
-    u = plane[h:h + h // 4].reshape(h // 2, w // 2).astype(jnp.float32)
-    v = plane[h + h // 4:].reshape(h // 2, w // 2).astype(jnp.float32)
+    # The U and V planes are CONTIGUOUS h*w/4-byte runs after Y; when
+    # h % 4 != 0 (e.g. 270) they do not fall on whole rows of the packed
+    # (h*3/2, w) layout, so split the flattened chroma bytes, never rows.
+    chroma = plane[h:].reshape(-1)
+    q = (h // 2) * (w // 2)
+    u = chroma[:q].reshape(h // 2, w // 2).astype(jnp.float32)
+    v = chroma[q:].reshape(h // 2, w // 2).astype(jnp.float32)
     # 2x2 nearest upsample of the chroma planes.
     u = jnp.repeat(jnp.repeat(u, 2, axis=0), 2, axis=1)
     v = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1)
