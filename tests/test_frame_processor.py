@@ -170,3 +170,35 @@ class TestFusedFrameProgram:
             blur=BlurConfig(enabled=True, laplacian_var_threshold=1e9))
         fp = FrameProcessor(cfg, segmenter=seg)
         assert fp(frame, now_ms=0) is None  # everything is "blurry"
+
+    def test_blur_rejected_frame_leaves_device_cache_untouched(
+            self, seg_and_frame):
+        """Reference parity: a blur-rejected frame never reaches planning
+        (FrameProcessor.py:44-48), so the PathFinder's cross-frame angle
+        cache must not change — including in exact_device mode where the
+        cache lives on-chip and is threaded through the fused program."""
+        from vision_assist_tpu.config import BlurConfig
+
+        seg, frame = seg_and_frame
+        base = self._cfg("exact_device")
+
+        cfg = base.replace(
+            blur=BlurConfig(enabled=True, laplacian_var_threshold=1e9))
+        fp = FrameProcessor(cfg, segmenter=seg)
+        before = np.asarray(fp._astar_cache).copy()
+        assert fp(frame, now_ms=0) is None
+        np.testing.assert_array_equal(np.asarray(fp._astar_cache), before)
+
+        # Control: an accepted frame does mutate the cache.
+        cfg2 = base.replace(
+            blur=BlurConfig(enabled=True, laplacian_var_threshold=0.0))
+        fp2 = FrameProcessor(cfg2, segmenter=seg)
+        assert fp2(frame, now_ms=0) is not None
+        assert not np.array_equal(np.asarray(fp2._astar_cache), before,
+                                  equal_nan=True)
+
+    def test_i420_odd_dims_rejected_at_construction(self):
+        cfg = PipelineConfig(frame_height=321, frame_width=240,
+                             transfer_format="i420")
+        with pytest.raises(ValueError, match="even"):
+            FrameProcessor(cfg)

@@ -54,6 +54,24 @@ class TestStreamingServer:
         with pytest.raises(ValueError):
             StreamingServer(FrameProcessor(cfg, segmenter=seg), depth=0)
 
+    def test_keep_frames_passes_frame_to_retire(self):
+        """keep_frames=True must hand the original frame to retire_frame
+        so --debug overlays render on the camera frame, not black."""
+        cfg, seg = _setup()
+        fp = FrameProcessor(cfg, segmenter=seg)
+        seen = []
+        orig = fp.retire_frame
+
+        def spy(handle, now_ms=None, frame=None):
+            seen.append(frame is not None)
+            return orig(handle, now_ms=now_ms, frame=frame)
+
+        fp.retire_frame = spy
+        srv = StreamingServer(fp, depth=2, keep_frames=True)
+        results = list(srv.serve(_frames(3)))
+        assert len(results) == 3
+        assert seen == [True, True, True]
+
 
 class TestBatchedStreamingServer:
     def test_matches_sync_steps(self):

@@ -218,7 +218,11 @@ def _run_video_pipelined(args, cam, fp, cues, out_dir) -> int:
     only makes sense frame-at-a-time."""
     from vision_assist_tpu.pipeline.server import StreamingServer
 
-    server = StreamingServer(fp, depth=args.depth)
+    if getattr(args, "timing_data_path", None):
+        print("--timing-data-path records per-stage sync timings; it is "
+              "not supported with --depth > 1 (pipelined mode) and will "
+              "be ignored")
+    server = StreamingServer(fp, depth=args.depth, keep_frames=args.debug)
     frame_count = 0
     submitted = 0
     processed = 0

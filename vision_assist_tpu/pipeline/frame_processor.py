@@ -60,6 +60,11 @@ class FrameProcessor:
                  segmenter: Segmenter | None = None, debug: bool = False,
                  replay_rounding: bool = False):
         self.cfg = cfg or PipelineConfig()
+        if self.cfg.transfer_format == "i420":
+            # Fail at construction with the clean error, not deep inside
+            # cv2/jit at first submit: I420 needs even frame dimensions.
+            from vision_assist_tpu.ops.yuv import i420_shape
+            i420_shape(self.cfg.frame_height, self.cfg.frame_width)
         self.segmenter = segmenter
         self.debug = debug
         self._plan = make_plan_step(

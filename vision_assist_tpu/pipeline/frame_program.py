@@ -149,7 +149,17 @@ def make_frame_program(cfg: PipelineConfig, segmenter,
             ]
         packed = jnp.concatenate(parts)
         if exact_device:
-            return packed, pr.astar_cache
+            cache_out = pr.astar_cache
+            if cfg.blur.enabled:
+                # A blur-rejected frame must not mutate the cross-frame
+                # angle cache: the reference's blur gate rejects the frame
+                # BEFORE planning runs (FrameProcessor.py:44-48), so its
+                # PathFinder singleton state stays untouched. The gate is
+                # decided on-chip here because the cache feeds the next
+                # submit before the host sees the blur metric.
+                keep = blur >= cfg.blur.laplacian_var_threshold
+                cache_out = jnp.where(keep, pr.astar_cache, astar_cache)
+            return packed, cache_out
         return packed
 
     def unpack(buf: np.ndarray) -> FramePayload:

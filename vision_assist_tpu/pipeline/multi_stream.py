@@ -49,10 +49,6 @@ class MultiStreamProcessor:
                 [empty_cache()] * cfg.num_streams)
 
         if segmenter is not None:
-            chain = segmenter._frame_chain
-            self._seg_batched = jax.jit(
-                lambda variables, frames: jax.vmap(
-                    lambda f: chain(variables, f))(frames))
             # Fused full-frame path: ONE batched program (seg + plan) and ONE
             # packed (S, N) transfer per step (pipeline/frame_program.py).
             from vision_assist_tpu.pipeline.frame_program import (
@@ -68,7 +64,6 @@ class MultiStreamProcessor:
                 self._fused_batched = jax.jit(
                     lambda v, f: jax.vmap(lambda f1: device_fn(v, f1))(f))
         else:
-            self._seg_batched = None
             self._fused_batched = None
             self._unpack = None
 
