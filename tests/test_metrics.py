@@ -89,3 +89,34 @@ def test_ap_empty_inputs():
     assert average_precision(np.zeros((0, 10), bool), np.zeros(0), 0).sum() == 0
     acc = MapAccumulator()
     assert acc.result()["map50_mask"] == 0.0
+
+
+def test_match_predictions_equals_reference_scan():
+    """The vectorised matcher must reproduce the naive per-threshold greedy
+    scan exactly, including last-index-wins on exact IoU ties."""
+    def naive(iou, thresholds):
+        d, n = iou.shape
+        t = len(thresholds)
+        tp = np.zeros((d, t), bool)
+        for ti, thr in enumerate(thresholds):
+            taken = np.zeros(n, bool)
+            for di in range(d):
+                best, best_iou = -1, thr
+                for gi in range(n):
+                    if not taken[gi] and iou[di, gi] >= best_iou:
+                        best, best_iou = gi, iou[di, gi]
+                if best >= 0:
+                    taken[best] = True
+                    tp[di, ti] = True
+        return tp
+
+    rng = np.random.default_rng(0)
+    thresholds = np.linspace(0.5, 0.95, 10)
+    for d, n in [(1, 1), (5, 3), (3, 5), (40, 12), (12, 40)]:
+        iou = rng.random((d, n))
+        # Inject exact ties (duplicate columns + quantised values).
+        iou[:, : n // 2] = np.round(iou[:, : n // 2] * 4) / 4
+        if n >= 2:
+            iou[:, -1] = iou[:, 0]
+        np.testing.assert_array_equal(
+            match_predictions(iou, thresholds), naive(iou, thresholds))

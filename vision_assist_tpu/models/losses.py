@@ -135,8 +135,18 @@ def task_aligned_assign(pred_scores, pred_boxes, anchor_pts, gt_boxes,
         fallback = jnp.zeros_like(cand)
 
     # Conflict resolution: anchor claimed by the GT with highest overlap.
+    # A needy GT's fallback claim outranks genuine candidacies (bonus 2.0
+    # dominates overlaps in [0, 1]): that anchor is the needy GT's ONLY
+    # gradient path, while a genuine candidate GT has up to tal_topk
+    # others — resolving by raw overlap would steal it and void the
+    # min-assign guarantee. (Two needy GTs sharing a nearest anchor still
+    # tie-break to the first; a GT pair that close is one instance for
+    # gradient purposes.)
     conflict = cand.sum(axis=1, keepdims=True) > 1           # (B, 1, A)
-    best_gt = jnp.argmax(jnp.where(cand, overlaps, -1.0), axis=1)  # (B, A)
+    claim = jnp.where(cand, overlaps, -1.0)
+    if cfg.tal_min_assign:
+        claim = claim + 2.0 * fallback
+    best_gt = jnp.argmax(claim, axis=1)                      # (B, A)
     is_best = best_gt[:, None, :] == jnp.arange(n)[None, :, None]
     cand = jnp.where(conflict, cand & is_best, cand)
 
@@ -199,8 +209,16 @@ def yolo_seg_loss(outputs: YoloSegOutputs, batch: dict[str, Any],
     pred_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
 
     pred_scores = jax.nn.sigmoid(cls_logits)
+    # The assigner is a LABELLING step, not part of the differentiable
+    # objective (ultralytics runs TaskAlignedAssigner under torch.no_grad()).
+    # Without stop_gradient the optimizer gets a degenerate descent
+    # direction — drive scores down so the soft targets shrink — which
+    # reinforces the "predict nothing" collapse tal_min_assign guards
+    # against, and d(x**0.5)/dx at x=0 injects NaNs through underflowed
+    # sigmoid scores (silently zeroed by zero_nonfinite = wasted steps).
     fg, assigned_gt, target_scores = task_aligned_assign(
-        pred_scores, pred_boxes, anchors_px,
+        jax.lax.stop_gradient(pred_scores),
+        jax.lax.stop_gradient(pred_boxes), anchors_px,
         batch["boxes"], batch["classes"], batch["valid"], cfg)
 
     ts_sum = jnp.maximum(target_scores.sum(), 1.0)

@@ -46,18 +46,24 @@ def match_predictions(iou: np.ndarray, thresholds=IOU_THRESHOLDS) -> np.ndarray:
     Returns tp (D, T) bool.
     """
     d, n = iou.shape
-    t = len(thresholds)
+    thr = np.asarray(thresholds, dtype=np.float64)
+    t = len(thr)
     tp = np.zeros((d, t), bool)
-    for ti, thr in enumerate(thresholds):
-        taken_gt = np.zeros(n, bool)
-        for di in range(d):
-            best, best_iou = -1, thr
-            for gi in range(n):
-                if not taken_gt[gi] and iou[di, gi] >= best_iou:
-                    best, best_iou = gi, iou[di, gi]
-            if best >= 0:
-                taken_gt[best] = True
-                tp[di, ti] = True
+    if n == 0:
+        return tp
+    # One numpy pass per detection, all thresholds at once (the naive
+    # T x D x N Python triple loop costs ~tens of seconds per full-split
+    # eval on this one-core host). Each detection takes the not-yet-taken
+    # GT with the highest IoU; among exact ties the LAST index wins,
+    # matching the original scan's `iou >= best_iou` update rule.
+    taken = np.zeros((t, n), bool)
+    ti_range = np.arange(t)
+    for di in range(d):
+        row = np.where(taken, -1.0, iou[di][None, :])        # (T, N)
+        gi = n - 1 - np.argmax(row[:, ::-1], axis=1)         # last argmax
+        ok = row[ti_range, gi] >= thr
+        taken[ti_range[ok], gi[ok]] = True
+        tp[di] = ok
     return tp
 
 
