@@ -466,3 +466,42 @@ class TestCheckpointResume:
         s1, m1 = step(state, batch)
         s2, m2 = step(restored, batch)
         assert float(m1["loss"]) == float(m2["loss"])
+
+
+class TestLoaderShutdown:
+    def test_early_abandon_releases_threads(self, tmp_path):
+        """Abandoning epoch() mid-stream (the trainer's steps_per_epoch
+        break in multi-process runs) must wind down the worker/flusher
+        threads instead of stranding them on the queue/reorder window."""
+        import threading
+        import time as _time
+
+        import cv2
+
+        from vision_assist_tpu.data.dataset import SegDataset
+        from vision_assist_tpu.data.loader import BatchLoader
+
+        (tmp_path / "train" / "images").mkdir(parents=True)
+        (tmp_path / "train" / "labels").mkdir(parents=True)
+        for i in range(12):
+            img = np.full((64, 64, 3), 128, np.uint8)
+            cv2.imwrite(str(tmp_path / "train" / "images" / f"i{i}.jpg"), img)
+            (tmp_path / "train" / "labels" / f"i{i}.txt").write_text(
+                "0 0.1 0.1 0.4 0.1 0.4 0.4 0.1 0.4\n")
+        ds = SegDataset(tmp_path, "train")
+        loader = BatchLoader(ds, batch_size=2, imgsz=64, augment=False,
+                             seed=0, prefetch=1)
+
+        before = threading.active_count()
+        gen = loader.epoch(workers=2)
+        next(gen)
+        gen.close()  # GeneratorExit -> finally -> stop.set()
+
+        deadline = _time.time() + 20
+        while threading.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert threading.active_count() <= before
+
+        # And a full pass still terminates normally afterwards.
+        n = sum(1 for _ in loader.epoch(workers=2))
+        assert n == len(loader)

@@ -163,35 +163,65 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         window = max(self.prefetch, workers) + workers
 
+        # Cooperative shutdown: a consumer that abandons the generator early
+        # (break/close — e.g. the trainer's `si >= steps_per_epoch` guard in
+        # multi-process runs) must not strand the flusher on a full queue and
+        # the workers in cond.wait, each pinning a packed ~20 MB batch.
+        stop = threading.Event()
+
         def worker(wid: int):
             for bi in range(wid, n_batches, workers):
+                if stop.is_set():
+                    return
                 idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
                 packed = self._pack(idxs, np.random.default_rng(batch_seeds[bi]))
                 with cond:
                     # Bounded reorder window relative to the flush head; the
                     # worker holding the head batch never waits, so this
                     # cannot deadlock.
-                    while bi - next_needed[0] >= window:
-                        cond.wait()
+                    while bi - next_needed[0] >= window and not stop.is_set():
+                        cond.wait(timeout=1.0)
+                    if stop.is_set():
+                        return
                     results[bi] = packed
                     cond.notify_all()
 
         def flusher():
             for bi in range(n_batches):
                 with cond:
-                    while bi not in results:
-                        cond.wait()
+                    while bi not in results and not stop.is_set():
+                        cond.wait(timeout=1.0)
+                    if stop.is_set():
+                        return
                     packed = results.pop(bi)
                     next_needed[0] = bi + 1
                     cond.notify_all()
-                q.put(packed)  # blocks on queue backpressure
+                while not stop.is_set():  # blocks on queue backpressure
+                    try:
+                        q.put(packed, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(None)
 
         for w in range(workers):
             threading.Thread(target=worker, args=(w,), daemon=True).start()
         threading.Thread(target=flusher, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            with cond:
+                cond.notify_all()
+            try:  # free anything the flusher already queued
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            results.clear()

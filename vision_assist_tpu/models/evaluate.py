@@ -61,8 +61,12 @@ def evaluate(model: YoloSeg, variables, root: str, split: str = "valid",
             mask, boxes, classes, valid = polygons_to_overlap_mask(
                 lb_polys, rec.classes, (imgsz, imgsz), (mh, mh),
                 max_instances=32)
+            # Index by the VALID slots, not range(valid.sum()): a degenerate
+            # polygon leaves a hole in valid[] but still occupies its
+            # painted value slot+1, so positional indexing would pair GT
+            # boxes with the wrong instances' masks.
             inst_masks = np.stack(
-                [mask == (k + 1) for k in range(int(valid.sum()))]
+                [mask == (k + 1) for k in np.flatnonzero(valid)]
             ) if valid.any() else np.zeros((0, mh, mh), bool)
             gts.append((boxes[valid], inst_masks))
 

@@ -140,4 +140,14 @@ class Segmenter:
     # -- public API ----------------------------------------------------------------
 
     def __call__(self, frame_bgr) -> SegFrameResult:
-        return self._jitted(self.variables, jnp.asarray(frame_bgr))
+        frame_bgr = jnp.asarray(frame_bgr)
+        if frame_bgr.shape[:2] != (self.frame_h, self.frame_w):
+            # jit would happily retrace for the new shape, letterbox the
+            # model input correctly, and then sample cell centres with the
+            # STALE example_hw geometry — a plausible-looking but
+            # geometrically wrong occupancy grid. Fail loudly instead.
+            raise ValueError(
+                f"frame shape {frame_bgr.shape[:2]} != Segmenter example_hw "
+                f"({self.frame_h}, {self.frame_w}); build the Segmenter "
+                "with example_hw matching the camera")
+        return self._jitted(self.variables, frame_bgr)
