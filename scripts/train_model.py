@@ -40,7 +40,10 @@ def main() -> int:
     ap.add_argument("--eval-images", type=int, default=256)
     ap.add_argument("--out", default="runs/seg")
     ap.add_argument("--workers", type=int, default=6)
-    ap.add_argument("--cache-images", action="store_true", default=True)
+    ap.add_argument("--cache-images", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="cache decoded images in RAM (--no-cache-images "
+                         "for large datasets on RSS-constrained hosts)")
     ap.add_argument("--resume", default=None,
                     help="msgpack checkpoint to initialise params from")
     ap.add_argument("--resume-state", default=None,
@@ -114,6 +117,13 @@ def main() -> int:
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     print("device:", jax.devices()[0], flush=True)
+    # Host-side artifacts (eval, history.json, checkpoints, the state
+    # rotation) are rank-0 work: concurrent writers on a shared cwd race
+    # the exists()/rename rotation, and evals would run pcount times.
+    # Collapse-revert DECISIONS stay on every process — their inputs (the
+    # psum'd global step metrics) are identical, so the processes act in
+    # lockstep without any cross-host file dependence.
+    is_main = jax.process_index() == 0
 
     ds = SegDataset(args.data, "train",
                     cache_images=args.imgsz if args.cache_images else None)
@@ -129,6 +139,9 @@ def main() -> int:
                          augment=True, seed=local_seed,
                          wire_format=args.wire_format)
     steps_per_epoch = len(ds) // args.batch  # GLOBAL steps per epoch
+    if steps_per_epoch == 0:
+        raise SystemExit(f"--batch {args.batch} exceeds the dataset "
+                         f"({len(ds)} images): zero steps per epoch")
     if multi:
         from vision_assist_tpu.parallel.mesh import make_mesh, replicated
         mesh = make_mesh()
@@ -164,6 +177,12 @@ def main() -> int:
         state = load_train_state(args.resume_state, state)
         print(f"resumed full train state from {args.resume_state} "
               f"(step {int(state.step)})", flush=True)
+    if multi and (args.resume or args.resume_state):
+        # Both resume paths overwrite the mesh-placed leaves with host-local
+        # numpy; a multi-process step over the global mesh cannot
+        # auto-globalize those, so re-place. (Single-process jit handles
+        # numpy leaves fine.)
+        state = place_state(state)
 
     step = make_train_step(model, LossConfig(), cfg)
     history = []
@@ -199,8 +218,10 @@ def main() -> int:
                 progress["mark"] = (time.time(), args.watchdog_secs)
         jax.block_until_ready(losses[-1]["loss"])
         progress["mark"] = (time.time(), args.watchdog_secs)
-        mean = {k: float(np.mean([float(m[k]) for m in losses]))
-                for k in losses[0]}
+        # ONE bulk fetch: float(m[k]) per metric per step would be
+        # steps_per_epoch x 6 sequential relay round-trips every epoch.
+        losses = jax.device_get(losses)
+        mean = {k: float(np.mean([m[k] for m in losses])) for k in losses[0]}
         dt = time.time() - t0
         line = (f"epoch {epoch + 1}/{args.epochs} "
                 f"loss={mean['loss']:.3f} box={mean['box']:.3f} "
@@ -211,7 +232,7 @@ def main() -> int:
         record = {"epoch": epoch + 1, **mean, "time_s": dt}
 
         is_last = epoch + 1 == args.epochs
-        if (epoch + 1) % args.eval_every == 0 or is_last:
+        if is_main and ((epoch + 1) % args.eval_every == 0 or is_last):
             ema_vars = freeze({"params": state.ema_params,
                                "batch_stats": state.batch_stats})
             # The eval program is a separate remote compile (can take 15 min
@@ -255,19 +276,24 @@ def main() -> int:
                       flush=True)
                 record["reverted"] = True
                 history.append(record)
-                tmp = out / "history.json.tmp"
-                tmp.write_text(json.dumps(history, indent=1))
-                tmp.replace(out / "history.json")
+                if is_main:
+                    tmp = out / "history.json.tmp"
+                    tmp.write_text(json.dumps(history, indent=1))
+                    tmp.replace(out / "history.json")
                 state = load_train_state(out / "state", state)
+                if multi:  # restored leaves are host-local; re-place
+                    state = place_state(state)
                 continue
 
         history.append(record)
         # tmp+rename: a concurrent reader (checkpoint snapshotter, resume)
         # must never see a torn half-written JSON.
-        tmp = out / "history.json.tmp"
-        tmp.write_text(json.dumps(history, indent=1))
-        tmp.replace(out / "history.json")
-        if args.save_state_every and (epoch + 1) % args.save_state_every == 0:
+        if is_main:
+            tmp = out / "history.json.tmp"
+            tmp.write_text(json.dumps(history, indent=1))
+            tmp.replace(out / "history.json")
+        if is_main and args.save_state_every \
+                and (epoch + 1) % args.save_state_every == 0:
             from vision_assist_tpu.models.checkpoint import save_train_state
             # Write-new-then-swap: a crash mid-save must never leave a torn
             # orbax dir where the resume path (supervisor: --resume-state
@@ -283,9 +309,10 @@ def main() -> int:
             if (out / "state").exists():
                 (out / "state").rename(prev)
             new.rename(out / "state")
-        save_variables(out / "last.msgpack",
-                       {"params": state.ema_params,
-                        "batch_stats": state.batch_stats})
+        if is_main:
+            save_variables(out / "last.msgpack",
+                           {"params": state.ema_params,
+                            "batch_stats": state.batch_stats})
         # Host-RSS hygiene: the experimental TPU relay client leaks host
         # memory per executed step (measured ~4.8 GB/epoch at 640px — the
         # per-batch upload size), which OOM-killed a 640px run at epoch 27
