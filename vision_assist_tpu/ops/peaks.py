@@ -85,7 +85,12 @@ def find_peaks(binary: jax.Array, grid_size: int = 20,
     global_width = global_max_x - global_min_x
     col_counts = jnp.sum(b, axis=-2, dtype=jnp.int32)  # filled pixels per column
     total = jnp.sum(col_counts)
-    mean_x = jnp.sum(col_counts * xs) / jnp.maximum(total, 1).astype(jnp.float32)
+    # f32 accumulation: the int32 product-sum overflows for mostly-filled
+    # frames beyond ~1920x1080 (sum approaches H*W^2/2), flipping every
+    # orientation; the f32 rounding (~1e-7 relative) is below the division's
+    # own f32 precision, which the differential suite already tolerates.
+    mean_x = (jnp.dot(col_counts.astype(jnp.float32), xs.astype(jnp.float32))
+              / jnp.maximum(total, 1).astype(jnp.float32))
 
     # Vertical slice stats per peak: columns within +/- grid_size//2 of centre.
     half = grid_size // 2

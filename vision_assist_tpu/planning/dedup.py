@@ -13,7 +13,10 @@ from vision_assist_tpu.semantics.sections import AnalysedPath
 
 
 def path_similarity(a: Sequence[tuple[int, int]], b: Sequence[tuple[int, int]]) -> float:
-    sa, sb = set(a), set(b)
+    return _set_similarity(frozenset(a), frozenset(b))
+
+
+def _set_similarity(sa: frozenset, sb: frozenset) -> float:
     if not sa or not sb:
         return 0.0
     inter = len(sa & sb)
@@ -25,14 +28,15 @@ def path_similarity(a: Sequence[tuple[int, int]], b: Sequence[tuple[int, int]]) 
 
 def deduplicate_paths(paths: list[AnalysedPath],
                       threshold: float = 0.90) -> list[AnalysedPath]:
+    # Coordinate sets are built ONCE per path (not per candidate-kept pair):
+    # this runs on the hot per-frame path.
+    ordered = sorted(paths, key=lambda p: len(p.cells), reverse=True)
+    sets = [frozenset((c.coords.x, c.coords.y) for c in p.cells)
+            for p in ordered]
     unique: list[AnalysedPath] = []
-    for path in sorted(paths, key=lambda p: len(p.cells), reverse=True):
-        coords = [(c.coords.x, c.coords.y) for c in path.cells]
-        if all(
-            path_similarity(coords,
-                            [(c.coords.x, c.coords.y) for c in kept.cells])
-            < threshold
-            for kept in unique
-        ):
+    kept_sets: list[frozenset] = []
+    for path, coords in zip(ordered, sets):
+        if all(_set_similarity(coords, ks) < threshold for ks in kept_sets):
             unique.append(path)
+            kept_sets.append(coords)
     return unique

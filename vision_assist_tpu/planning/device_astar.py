@@ -272,6 +272,11 @@ def device_astar(walkable: jax.Array, penalty: jax.Array,
     final = jax.lax.while_loop(lambda s: s.done == 0, body, state)
 
     ok = final.done == 1
+    # A path that outgrew the buffer (writes clamp to slot max_len-1 while
+    # path_len keeps counting) is corrupt — report it invalid rather than
+    # returning a truncated path whose tail is an arbitrary later cell
+    # (wavefront.backtrace applies the same rule).
+    ok = ok & (final.path_len[goal] <= max_len)
     length = jnp.where(ok, final.path_len[goal], 0)
     flat = final.path_buf[goal]
     flat = jnp.where((jnp.arange(max_len) < length) & ok, flat, -1)

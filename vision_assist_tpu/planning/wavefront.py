@@ -56,6 +56,42 @@ def _turn_cost_matrix(angle_grace_deg: float, angle_exponent: float,
     return t
 
 
+def _scaled_turn(grid_size: float, angle_weight: float,
+                 angle_grace_deg: float, angle_exponent: float,
+                 angle_denominator: float):
+    """The turn-cost matrix in field units — the ONE pricing of direction
+    changes shared by relax/relax_sweep (via _field_inputs) and backtrace."""
+    return jnp.asarray(
+        _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)
+        * (grid_size * angle_weight))
+
+
+def _field_inputs(walkable, penalty, start_rc, grid_size: float,
+                  penalty_weight: float, angle_weight: float,
+                  angle_grace_deg: float, angle_exponent: float,
+                  angle_denominator: float):
+    """The cost-model fields shared by relax/relax_sweep/backtrace:
+    (w bool mask, scaled turn matrix, per-cell enter cost, dist0).
+    One definition — the three consumers MUST price moves identically or
+    backtrace walks a field whose parents it mis-prices.
+    """
+    rows, cols = walkable.shape
+    w = walkable.astype(bool)
+    turn = _scaled_turn(grid_size, angle_weight, angle_grace_deg,
+                        angle_exponent, angle_denominator)
+    # Cost of entering cell (r, c) regardless of direction.
+    enter = jnp.where(
+        w, grid_size * (1.0 + penalty_weight * penalty.astype(jnp.float32)),
+        INF)
+    start_mask = (
+        (jnp.arange(rows)[:, None] == start_rc[0])
+        & (jnp.arange(cols)[None, :] == start_rc[1])
+    )
+    dist0 = jnp.where(start_mask[:, :, None], 0.0,
+                      jnp.full((rows, cols, 4), INF))
+    return w, turn, enter, dist0
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PathBatch:
@@ -103,20 +139,9 @@ def relax(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
     """Single-source cost-to-come field dist (R, C, 4) over (cell, incoming
     direction) states. Converges via while_loop with early exit."""
     rows, cols = walkable.shape
-    w = walkable.astype(bool)
-    turn = jnp.asarray(
-        _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)
-        * (grid_size * angle_weight))
-    # Cost of entering cell (r, c) regardless of direction.
-    enter = jnp.where(
-        w, grid_size * (1.0 + penalty_weight * penalty.astype(jnp.float32)), INF)
-
-    start_mask = (
-        (jnp.arange(rows)[:, None] == start_rc[0])
-        & (jnp.arange(cols)[None, :] == start_rc[1])
-    )
-    dist0 = jnp.where(start_mask[:, :, None], 0.0,
-                      jnp.full((rows, cols, 4), INF))
+    w, turn, enter, dist0 = _field_inputs(
+        walkable, penalty, start_rc, grid_size, penalty_weight, angle_weight,
+        angle_grace_deg, angle_exponent, angle_denominator)
 
     def _shift(x: jax.Array, dr: int, dc: int) -> jax.Array:
         """x sampled at each cell's parent (cell - (dr, dc)), INF off-lattice."""
@@ -174,20 +199,9 @@ def relax_sweep(walkable: jax.Array, penalty: jax.Array, start_rc: jax.Array,
     R*C capped sweeps for `relax`.
     """
     rows, cols = walkable.shape
-    w = walkable.astype(bool)
-    turn = jnp.asarray(
-        _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)
-        * (grid_size * angle_weight))
-    enter = jnp.where(
-        w, grid_size * (1.0 + penalty_weight * penalty.astype(jnp.float32)),
-        INF)
-
-    start_mask = (
-        (jnp.arange(rows)[:, None] == start_rc[0])
-        & (jnp.arange(cols)[None, :] == start_rc[1])
-    )
-    dist0 = jnp.where(start_mask[:, :, None], 0.0,
-                      jnp.full((rows, cols, 4), INF))
+    w, turn, enter, dist0 = _field_inputs(
+        walkable, penalty, start_rc, grid_size, penalty_weight, angle_weight,
+        angle_grace_deg, angle_exponent, angle_denominator)
 
     def _combine(earlier, later):
         a1, b1 = earlier
@@ -253,9 +267,8 @@ def backtrace(dist: jax.Array, walkable: jax.Array, start_rc: jax.Array,
     Returns (cells (max_len, 2) int32 padded with -1, length, cost, valid).
     """
     rows, cols = walkable.shape
-    turn = jnp.asarray(
-        _turn_cost_matrix(angle_grace_deg, angle_exponent, angle_denominator)
-        * (grid_size * angle_weight))
+    turn = _scaled_turn(grid_size, angle_weight, angle_grace_deg,
+                        angle_exponent, angle_denominator)
     moves = jnp.asarray(MOVES)
 
     goal_dists = dist[goal_rc[0], goal_rc[1]]
