@@ -71,7 +71,13 @@ def generate_cue_assets(out_dir: str | pathlib.Path = "assets/audio",
         path = out / f"{answer.value}.wav"
         if speech_backend is not None:
             audio, sr = speech_backend(answer.value.replace("_", " "))
-            assert sr == SAMPLE_RATE, "resample in the backend"
+            if sr != SAMPLE_RATE:
+                # Not an assert: under python -O it would vanish and a
+                # mismatched-rate clip gets a wrong WAV header — guidance
+                # cues playing fast/pitch-shifted is a safety defect.
+                raise ValueError(
+                    f"speech backend produced {sr} Hz audio; resample to "
+                    f"{SAMPLE_RATE} Hz in the backend")
             write_wav(path, np.asarray(audio))
         else:
             write_wav(path, render_cue(answer))

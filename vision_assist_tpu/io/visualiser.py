@@ -38,7 +38,9 @@ def render_overlay(cfg: PipelineConfig, result, frame: np.ndarray | None = None
     """Render the debug overlay for a FrameResult onto (a copy of) the frame."""
     g = cfg.grid.grid_size
     h, w = cfg.frame_height, cfg.frame_width
-    img = (np.ascontiguousarray(frame).copy() if frame is not None
+    # ONE C-ordered numpy copy (handles device arrays too) — the previous
+    # ascontiguousarray().copy() chain copied non-contiguous frames twice.
+    img = (np.array(frame) if frame is not None
            else np.zeros((h, w, 3), np.uint8))
 
     # Non-path cells with penalty colours.

@@ -212,6 +212,11 @@ class InstructionEngine:
         filtered = self._enrich_with_memory(instructions, now_ms,
                                             frame_height, frame_width)
 
+        # Same-millisecond frames overwrite each other's memory entry — a
+        # faithful replication of the reference's dict-keyed-by-timestamp
+        # memory (PathAnalyser.py:375, processing_time = int(time.time() *
+        # 1000)); at TPU frame rates callers should pass distinct now_ms
+        # (the serving paths do) if per-frame memory matters.
         self.previous_instructions[now_ms] = stored
         self.previous_instructions = {
             ts: ins for ts, ins in self.previous_instructions.items()
