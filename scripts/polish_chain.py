@@ -79,6 +79,7 @@ def polish(results_key: str, note: str, run_name: str, snap: str,
         return False
     launch = lambda: chain.launch_supervised(  # noqa: E731
         f"runs/{run_name}", snap, args, f"chain_{run_name}.log")
+    chain.wait_relay_up()
     launch()
     time.sleep(120)
     chain.wait_run_complete(REPO / "runs" / run_name, epochs, launch)

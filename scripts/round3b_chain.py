@@ -46,12 +46,36 @@ def stop_flag_status(fresh_s: int = 1800) -> str:
     return "fresh" if age < fresh_s else "stale"
 
 
+def wait_relay_up(poll_s: int = 60) -> None:
+    """Block until the TPU relay tunnel accepts connections again.
+
+    The tunnel process can die (observed 2026-08-17: remote_compile
+    'connection refused' killed the v8n run at epoch 116); launching chip
+    stages while it is down just burns the supervisor's failure budget.
+    A listening compile port is the best in-VM liveness signal we have."""
+    import socket
+
+    waited = False
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8093), timeout=5):
+                pass
+            if waited:
+                print("relay tunnel is back", flush=True)
+            return
+        except OSError:
+            if not waited:
+                print("relay tunnel down (127.0.0.1:8093 refused); "
+                      "waiting for it to return...", flush=True)
+            waited = True
+            time.sleep(poll_s)
+
+
 def wait_for_training_idle(poll_s: int = 120) -> None:
     import stop_training
 
     while True:
-        live = stop_training.scan(stop_training.SUPERVISORS
-                                  + stop_training.TRAINERS)
+        live = stop_training.scan(stop_training.CHIP_OWNERS)
         if not live:
             # A fresh runs/STOP means someone (bench.py / the driver's
             # scoreboard run) parked training and wants the chip quiet;
@@ -101,12 +125,14 @@ def wait_run_complete(run_dir: pathlib.Path, target_epochs: int,
             return
         print(f"run {run_dir.name} parked at epoch {done}/{target_epochs}; "
               "relaunching supervisor", flush=True)
+        wait_relay_up()
         relaunch()
         relaunches += 1
         time.sleep(300)
 
 
 def full_eval(arch: str, imgsz: int, ckpt: pathlib.Path) -> dict:
+    wait_relay_up()
     from vision_assist_tpu.models.checkpoint import load_variables
     from vision_assist_tpu.models.evaluate import evaluate
     from vision_assist_tpu.models.yolo import YoloSeg
@@ -200,6 +226,7 @@ def regen_artifacts(v8n_promoted: bool, y11n_promoted: bool) -> None:
 
 def run_bench() -> None:
     """Run bench.py on the (now quiet) chip; record its one JSON line."""
+    wait_relay_up()
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                        capture_output=True, text=True)
     for line in r.stdout.splitlines():
@@ -287,6 +314,7 @@ def main() -> None:
         launch_y11n = lambda: launch_supervised(  # noqa: E731
             "runs/y11n_256_r2", "y11n_256_r2_best", Y11N_ARGS,
             "chain_y11n_r2.log")
+        wait_relay_up()
         launch_y11n()
         time.sleep(300)
         wait_run_complete(REPO / "runs/y11n_256_r2", 300, launch_y11n)

@@ -24,6 +24,12 @@ import time
 SUPERVISORS = ("queue_y11n.sh", "train_supervised.sh", "babysit_trainer.sh",
                "checkpoint_commit.sh")
 TRAINERS = ("train_model.py",)
+# Processes that actually own the chip/relay. The ckpt snapshotter
+# (checkpoint_commit.sh) is an immortal CPU-side loop: including it in an
+# idle-wait deadlocks the training chains after a natural run completion
+# (it only ever "went idle" before because bench parks killed it too).
+CHIP_OWNERS = ("queue_y11n.sh", "train_supervised.sh", "babysit_trainer.sh",
+               "train_model.py")
 
 
 def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
