@@ -40,6 +40,28 @@ WEIGHTS = REPO / "assets" / "weights" / "v8n_640_best.msgpack"
 VAL_IMAGES = pathlib.Path("/root/reference/model/valid/images")
 
 
+def ensure_relay_up(deadline_s: float = 1200.0) -> bool:
+    """Bounded wait for the TPU relay tunnel; False if it stays down.
+
+    Without this, a dead tunnel makes the first jax backend touch hang
+    forever and the scoreboard run records an opaque timeout. (Observed
+    2026-08-17: the tunnel process died mid-round; connection refused on
+    every relay port.)"""
+    import socket
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        try:
+            with socket.create_connection(("127.0.0.1", 8093), timeout=5):
+                return True
+        except OSError:
+            print("TPU relay tunnel down; waiting "
+                  f"({int(time.time() - t0)}s/{int(deadline_s)}s)...",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+    return False
+
+
 def ensure_quiet_chip() -> dict:
     """Park any live training before measuring (VERDICT r2 #2).
 
@@ -90,6 +112,20 @@ def load_frames(n: int, hw: tuple[int, int]) -> np.ndarray:
 
 
 def main() -> None:
+    if not ensure_relay_up():
+        # Honest failure record: no fabricated number, a pointer to the
+        # last chip-quiet measurement, and a parseable JSON line so the
+        # driver does not just see a timeout.
+        print(json.dumps({
+            "metric": "frames/sec/chip end-to-end (seg+pathfind) at 640x640",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": "TPU relay tunnel down (connection refused on "
+                     "127.0.0.1:8093 for 20 min); no measurement possible "
+                     "this run — see BENCH_LOCAL.json for the last "
+                     "chip-quiet measurement",
+        }))
+        return
+
     quiet = ensure_quiet_chip()
 
     import jax
