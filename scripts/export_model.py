@@ -54,9 +54,10 @@ def main() -> int:
                 res.detections.valid)
 
     exported = jax_export.export(jax.jit(infer))(frame)
-    (out / "inference.stablehlo").write_bytes(exported.serialize())
+    blob = exported.serialize()
+    (out / "inference.stablehlo").write_bytes(blob)
     save_variables(out / "variables.msgpack", variables)
-    print(f"exported StableHLO ({len(exported.serialize())} bytes) and "
+    print(f"exported StableHLO ({len(blob)} bytes) and "
           f"weights to {out}/")
     print(f"  platforms: {exported.platforms}")
     return 0

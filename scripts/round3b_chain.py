@@ -258,10 +258,13 @@ def launch_supervised(out: str, snap_name: str, args: list[str],
 V8N_ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
             "--max-rss-gb", "100", "--wire-format", "i420",
             "--resume", "assets/weights/v8n_640_best.msgpack"]
+#  From scratch, NOT resumed: the committed y11n checkpoint was trained on
+#  the pre-fix v11 variant ("yolo11n-seg-legacy" — neck shortcut/c3k and
+#  attention-conv activations diverged from yolo11.yaml); its param tree
+#  does not load into the faithful arch this run trains.
 Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
              "--batch", "64", "--eval-every", "20", "--eval-images", "256",
-             "--max-rss-gb", "100", "--wire-format", "i420",
-             "--resume", "assets/weights/y11n_256_best.msgpack"]
+             "--max-rss-gb", "100", "--wire-format", "i420"]
 
 
 def main() -> None:

@@ -48,12 +48,14 @@ def _round_ch(c: float) -> int:
 
 
 class ConvBNAct(nn.Module):
-    """Conv + BatchNorm + SiLU (ultralytics Conv block)."""
+    """Conv + BatchNorm + SiLU (ultralytics Conv block; act=False for the
+    linear Conv variants YOLO11's attention path uses)."""
 
     features: int
     kernel: int = 1
     stride: int = 1
     groups: int = 1
+    act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -68,7 +70,7 @@ class ConvBNAct(nn.Module):
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=jnp.float32, param_dtype=jnp.float32,
         )(x)
-        return nn.silu(x).astype(self.dtype)
+        return (nn.silu(x) if self.act else x).astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -179,11 +181,16 @@ class SPPF(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention over the spatial grid with positional conv (YOLO11 PSA)."""
+    """Multi-head attention over the spatial grid with positional conv (YOLO11 PSA).
+
+    ultralytics defines qkv/pe/proj as Conv(..., act=False) — linear conv+BN;
+    legacy=True keeps the pre-fix SiLU variant this repo's first y11n
+    checkpoint was trained with (arch "yolo11n-seg-legacy")."""
 
     dim: int
     num_heads: int
     attn_ratio: float = 0.5
+    legacy: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -192,8 +199,9 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         key_dim = int(head_dim * self.attn_ratio)
         nh = self.num_heads
+        act = self.legacy
         qkv_dim = nh * (2 * key_dim + head_dim)
-        qkv = ConvBNAct(qkv_dim, 1, dtype=self.dtype)(x, train)
+        qkv = ConvBNAct(qkv_dim, 1, act=act, dtype=self.dtype)(x, train)
         qkv = qkv.reshape(b, h * w, nh, 2 * key_dim + head_dim)
         q, k, v = jnp.split(qkv, [key_dim, 2 * key_dim], axis=-1)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -202,27 +210,33 @@ class Attention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, h, w, nh * head_dim)
-        pe = ConvBNAct(self.dim, 3, groups=self.dim, dtype=self.dtype)(
+        pe = ConvBNAct(self.dim, 3, groups=self.dim, act=act,
+                       dtype=self.dtype)(
             v.reshape(b, h, w, nh * head_dim), train)
-        return ConvBNAct(self.dim, 1, dtype=self.dtype)(out + pe, train)
+        return ConvBNAct(self.dim, 1, act=act, dtype=self.dtype)(
+            out + pe, train)
 
 
 class PSABlock(nn.Module):
     dim: int
     num_heads: int
+    legacy: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype)(x, train)
+        x = x + Attention(self.dim, self.num_heads, legacy=self.legacy,
+                          dtype=self.dtype)(x, train)
         y = ConvBNAct(self.dim * 2, 1, dtype=self.dtype)(x, train)
-        y = ConvBNAct(self.dim, 1, dtype=self.dtype)(y, train)
+        # ultralytics FFN: Conv(c*2, c, 1, act=False).
+        y = ConvBNAct(self.dim, 1, act=self.legacy, dtype=self.dtype)(y, train)
         return x + y
 
 
 class C2PSA(nn.Module):
     features: int
     n: int = 1
+    legacy: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -231,7 +245,8 @@ class C2PSA(nn.Module):
         y = ConvBNAct(2 * hidden, 1, dtype=self.dtype)(x, train)
         a, b = jnp.split(y, 2, axis=-1)
         for _ in range(self.n):
-            b = PSABlock(hidden, max(1, hidden // 64), dtype=self.dtype)(b, train)
+            b = PSABlock(hidden, max(1, hidden // 64), legacy=self.legacy,
+                         dtype=self.dtype)(b, train)
         return ConvBNAct(self.features, 1, dtype=self.dtype)(
             jnp.concatenate([a, b], axis=-1), train)
 
@@ -286,13 +301,22 @@ class YoloSeg(nn.Module):
     def is_v11(self) -> bool:
         return "11" in self.arch
 
+    @property
+    def is_v11_legacy(self) -> bool:
+        """arch "yolo11n-seg-legacy": the pre-fix v11 variant (neck C3k2
+        shortcut=False / no c3k in the P5 neck block / SiLU on the attention
+        qkv-pe-proj and FFN-out convs) this repo's first y11n checkpoint was
+        trained with — kept constructible so that artifact stays loadable."""
+        return self.is_v11 and self.arch.endswith("-legacy")
+
     def _scale(self) -> YoloScale:
-        letter = self.arch.replace("-seg", "")[-1]
+        letter = self.arch.replace("-legacy", "").replace("-seg", "")[-1]
         return (SCALES_11 if self.is_v11 else SCALES)[letter]
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> YoloSegOutputs:
         s = self._scale()
+        legacy = self.is_v11_legacy
 
         def ch(c: int) -> int:
             return _round_ch(min(c, s.max_channels) * s.width)
@@ -319,10 +343,18 @@ class YoloSeg(nn.Module):
             x = ConvBNAct(ch(1024), 3, 2, dtype=dt)(x, train)         # P5
             x = C3k2(ch(1024), depth(2), c3k=True, shortcut=True, dtype=dt)(x, train)
             x = SPPF(ch(1024), 5, dtype=dt)(x, train)
-            x = C2PSA(ch(1024), depth(2), dtype=dt)(x, train)
+            x = C2PSA(ch(1024), depth(2), legacy=legacy, dtype=dt)(x, train)
             p5 = x
-            block = lambda c, n, sc: C3k2(  # noqa: E731
-                c, depth(n), c3k=False, shortcut=sc, dtype=dt)
+            if legacy:
+                # Pre-fix variant (the first trained y11n checkpoint):
+                # neck blocks c3k=False, shortcut=False.
+                block = lambda c, n, sc, c3k=False: C3k2(  # noqa: E731
+                    c, depth(n), c3k=False, shortcut=sc, dtype=dt)
+            else:
+                # yolo11.yaml head: C3k2 [c2, c3k] with shortcut defaulting
+                # True; c3k=True only for the final P5 block at n/s scales.
+                block = lambda c, n, sc, c3k=False: C3k2(  # noqa: E731
+                    c, depth(n), c3k=c3k, shortcut=True, dtype=dt)
             neck_n = 2
         else:
             # YOLOv8 backbone
@@ -339,7 +371,8 @@ class YoloSeg(nn.Module):
             x = C2f(ch(1024), depth(3), shortcut=True, dtype=dt)(x, train)
             x = SPPF(ch(1024), 5, dtype=dt)(x, train)
             p5 = x
-            block = lambda c, n, sc: C2f(c, depth(n), shortcut=sc, dtype=dt)  # noqa: E731
+            block = lambda c, n, sc, c3k=False: C2f(  # noqa: E731
+                c, depth(n), shortcut=sc, dtype=dt)
             neck_n = 3
 
         # PAN neck (identical wiring for v8/v11)
@@ -355,7 +388,7 @@ class YoloSeg(nn.Module):
         n4 = block(ch(512), neck_n, False)(
             jnp.concatenate([d1, h1], axis=-1), train)                # P4 out
         d2 = ConvBNAct(ch(512), 3, 2, dtype=dt)(n4, train)
-        n5 = block(ch(1024), neck_n, False)(
+        n5 = block(ch(1024), neck_n, False, c3k=True)(
             jnp.concatenate([d2, p5], axis=-1), train)                # P5 out
 
         feats = [n3, n4, n5]

@@ -55,7 +55,12 @@ def letterbox(image: jax.Array, dst: int = 640, bgr_to_rgb: bool = True,
     img = image.astype(jnp.float32)
     if bgr_to_rgb:
         img = img[..., ::-1]
-    resized = jax.image.resize(img, (spec.new_h, spec.new_w, 3), "bilinear")
+    # antialias=False: cv2.resize(INTER_LINEAR) — the reference
+    # preprocessing AND this repo's host training/eval letterbox — never
+    # antialiases, so the default antialiased kernel would skew serving
+    # inputs away from what the model was trained on.
+    resized = jax.image.resize(img, (spec.new_h, spec.new_w, 3), "bilinear",
+                               antialias=False)
     out = jnp.full((dst, dst, 3), pad_value, jnp.float32)
     out = jax.lax.dynamic_update_slice(
         out, resized, (spec.pad_top, spec.pad_left, 0))
