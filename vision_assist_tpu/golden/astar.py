@@ -136,12 +136,18 @@ class AStarEngine:
             return abs(a[0] - goal_xy[0]) + abs(a[1] - goal_xy[1])
 
         heapq.heappush(open_heap, (heuristic(start), start))
+        # Mirror of the heap's node set: a node never re-enters after a
+        # pop (it lands in closed, and closed nodes are never relaxation
+        # targets), so add-on-push / discard-on-pop tracks membership
+        # exactly and replaces an O(heap) linear scan per relaxation.
+        in_open = {start}
 
         # Neighbour order right, left, down, up (FrameProcessor.py:195-200).
         steps = ((grid_size, 0), (-grid_size, 0), (0, grid_size), (0, -grid_size))
 
         while open_heap:
             _, current = heapq.heappop(open_heap)
+            in_open.discard(current)
             if current == goal:
                 path_px = [current]
                 node = current
@@ -198,7 +204,8 @@ class AStarEngine:
                     # Never re-push a node already queued, even with a better
                     # f — stale priorities are part of the reference's
                     # observable behaviour (PathFinder.py:182-184).
-                    if not any(coords == nxt for _, coords in open_heap):
+                    if nxt not in in_open:
                         heapq.heappush(open_heap, (f, nxt))
+                        in_open.add(nxt)
 
         return [], math.inf
