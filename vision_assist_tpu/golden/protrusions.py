@@ -274,6 +274,12 @@ class ExtendedProtrusionDetector:
                                int(contour[d[1]][0][1])),
                 far=Coordinate(int(contour[d[2]][0][0]),
                                int(contour[d[2]][0][1])),
+                # RAW fixed-point depth (cv2 returns depth*256) compared
+                # against a pixel-unit threshold below — replicated quirk:
+                # the reference uses depth=float(defect[0][3]) with no /256
+                # (ProtrusionDetector.py:484), so the depth gate passes at
+                # ~w/1024 real pixels and candidates are gated mostly by
+                # the angle/start_y tests.
                 depth=float(d[3]),
             )
             if not (defect.depth > self.depth_frac * w

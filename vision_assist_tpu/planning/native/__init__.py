@@ -27,9 +27,12 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
+            src = _DIR / "engine.cpp"
+            # A prebuilt .so without sources (pruned/binary install) is
+            # fine — only rebuild when the source exists and is newer.
             if not _LIB_PATH.exists() or (
-                    (_DIR / "engine.cpp").stat().st_mtime
-                    > _LIB_PATH.stat().st_mtime):
+                    src.exists()
+                    and src.stat().st_mtime > _LIB_PATH.stat().st_mtime):
                 subprocess.run(["make", "-C", str(_DIR)], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
@@ -98,7 +101,14 @@ class NativeAStarEngine:
         w = np.ascontiguousarray(walkable, dtype=np.uint8)
         p = np.ascontiguousarray(penalty, dtype=np.float64)
         rows, cols = w.shape
-        out = np.zeros((max_len, 2), np.int32)
+        for name, (r, c) in (("start_rc", start_rc), ("goal_rc", goal_rc)):
+            if not (0 <= r < rows and 0 <= c < cols):
+                # The C side writes g[r*cols+c] unchecked — an out-of-range
+                # index is heap corruption, not an IndexError.
+                raise IndexError(f"{name}={r, c} outside {rows}x{cols} lattice")
+        # np.empty: only the first n rows are read back, and a 512 KB memset
+        # per call is measurable next to the native search on small lattices.
+        out = np.empty((max_len, 2), np.int32)
         cost = ctypes.c_double(0)
         n = self._lib.va_find_path(
             w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

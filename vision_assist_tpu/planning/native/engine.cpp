@@ -242,7 +242,11 @@ int va_find_path(const uint8_t* walkable, const double* penalty,
         // grid_lookup.get() is truthy for empty grids (FrameProcessor.py:203)
         // and those dead-end relaxations warm the angle cache, which changes
         // later costs in radians-cache mode (differential-fuzz finding).
-        if (!walkable[ci]) continue;
+        // The START is exempt like the numpy twin (golden/astar.py:
+        // "current != start and not walkable"): a non-walkable start still
+        // expands, so the engines stay bit-compatible on that edge case.
+        const bool is_start = (cr == start_r && cc == start_c);
+        if (!is_start && !walkable[ci]) continue;
 
         // Path so far (current first after reverse) — PathFinder.py:156-162.
         path_so_far.clear();
@@ -267,7 +271,11 @@ int va_find_path(const uint8_t* walkable, const double* penalty,
             path_so_far.pop_back();
 
             const double apen = angle_penalty(max_angle, p);
-            const double mult = 1.0 + penalty_w * penalty[ni] + apen * angle_w;
+            // Penalty applies only to walkable neighbours (golden twin:
+            // "penalty[nr, nc] if walkable[nr, nc] else 0.0") — a
+            // caller-supplied penalty buffer may be nonzero off-mask.
+            const double cell_pen = walkable[ni] ? penalty[ni] : 0.0;
+            const double mult = 1.0 + penalty_w * cell_pen + apen * angle_w;
             const double dist = sqrt(double(dxs[k]) * dxs[k]
                                      + double(dys[k]) * dys[k]);
             const double tentative = g[ci] + dist * mult;
