@@ -116,6 +116,16 @@ def main() -> None:
         # Honest failure record: no fabricated number, a pointer to the
         # last chip-quiet measurement, and a parseable JSON line so the
         # driver does not just see a timeout.
+        last = {}
+        local = REPO / "BENCH_LOCAL.json"
+        if local.exists():
+            try:
+                j = json.loads(local.read_text())
+                last = {"last_chip_quiet_fps": j.get("value"),
+                        "last_chip_quiet_batched_fps":
+                            j.get("batched_fps_8streams")}
+            except (OSError, json.JSONDecodeError):
+                pass
         print(json.dumps({
             "metric": "frames/sec/chip end-to-end (seg+pathfind) at 640x640",
             "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
@@ -123,6 +133,7 @@ def main() -> None:
                      "127.0.0.1:8093 for 20 min); no measurement possible "
                      "this run — see BENCH_LOCAL.json for the last "
                      "chip-quiet measurement",
+            **last,
         }))
         return
 

@@ -220,3 +220,26 @@ def test_relax_sweep_same_fixed_point_and_paths(device_fields):
             c2 = backtrace(d2, walk, start, goal, angle_weight=1e-4)
             np.testing.assert_array_equal(
                 np.asarray(c1[0]), np.asarray(c2[0]), err_msg=name)
+
+
+def test_peaks_orientation_no_overflow_at_1440p():
+    """Regression: the global mean-x product-sum overflowed int32 on
+    mostly-filled frames beyond ~1920x1080, flipping every left/right
+    orientation. Compare the device orientations against the f64 host
+    twin on a 2560x1440 mostly-walkable scene."""
+    import jax.numpy as jnp
+
+    from vision_assist_tpu.golden.peaks import find_peaks as host_peaks
+    from vision_assist_tpu.ops.peaks import ORIENTATION_NAMES, find_peaks
+
+    h, w = 1440, 2560
+    binary = np.ones((h, w), bool)
+    binary[:, :40] = False          # off-centre mass so mean_x != centre
+    binary[: h // 3, w // 2:] = False
+    pk = find_peaks(jnp.asarray(binary))
+    gold = host_peaks(binary.astype(np.uint8) * 255)
+    n = int(pk.valid.sum())
+    assert n == len(gold) > 0
+    for i, gp in enumerate(gold):
+        assert int(pk.centre_x[i]) == gp.centre.x
+        assert ORIENTATION_NAMES[int(pk.orientation[i])] == gp.orientation
