@@ -71,6 +71,12 @@ def main() -> int:
         occ = load_scenario(name)
         gold = GoldenReplayPipeline().process(occ)
         start = gold.start_cell
+        if not gold.peaks or start is None:
+            # Degenerate fixture (no walkable cells / no peaks) — the
+            # editor lets users drop those in; skip instead of aborting
+            # the whole A/B run.
+            print(f"{name:32s} {'(no peaks/start — skipped)':>48s}")
+            continue
         goal = closest_cell_to_point(gold.walkable,
                                      gold.peaks[0].centre.to_tuple())
 
@@ -90,7 +96,10 @@ def main() -> int:
         pen = jnp.asarray(gold.penalty, jnp.float32)
         goals = jnp.asarray(np.tile(np.asarray(goal, np.int32), (8, 1)))
         gvalid = jnp.asarray([True] + [False] * 7)
-        srt = closest_walkable_cell(walk, jnp.array([360, 1280]))
+        # Same start cell as the exact engines (gold.start_cell), not a
+        # recomputation from hardcoded 720x1280 pixel coords — arbitrary
+        # scenario shapes would otherwise report spurious disagreement.
+        srt = jnp.asarray(start, jnp.int32)
         find_paths(walk, pen, srt, goals, gvalid)  # compile
         t0 = time.perf_counter()
         pb = find_paths(walk, pen, srt, goals, gvalid)
@@ -103,14 +112,23 @@ def main() -> int:
         same_wave = p_wave == p_exact
         print(f"{name:32s} {t_exact:10.1f} {t_native:11.2f} {t_wave:9.1f} "
               f"{str(same_nat):>7s} {str(same_wave):>8s}")
-        render(gold, {"exact": p_exact, "wavefront": p_wave},
-               out / f"{name}.png")
+        paths = {"exact": p_exact, "wavefront": p_wave}
+        if p_native is not None:
+            paths["native"] = p_native
+        render(gold, paths, out / f"{name}.png")
         rows.append((name, t_exact, t_native, t_wave, same_nat, same_wave))
 
-    n_nat = sum(1 for r in rows if r[4])
+    # native-unavailable (None) rows are excluded from the denominator —
+    # "0/13" on a host without a compiler is not disagreement.
+    nat_rows = [r for r in rows if r[4] is not None]
     n_wave = sum(1 for r in rows if r[5])
-    print(f"\nnative path == exact: {n_nat}/{len(rows)}; "
-          f"wavefront path == exact: {n_wave}/{len(rows)}")
+    if nat_rows:
+        print(f"\nnative path == exact: "
+              f"{sum(1 for r in nat_rows if r[4])}/{len(nat_rows)}; "
+              f"wavefront path == exact: {n_wave}/{len(rows)}")
+    else:
+        print(f"\nnative engine unavailable (no C++ toolchain); "
+              f"wavefront path == exact: {n_wave}/{len(rows)}")
     print(f"renders in {out}/")
     return 0
 

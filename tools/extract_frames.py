@@ -35,6 +35,10 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
 
     wanted = set(args.frames) if args.frames else None
+    if wanted is None and not args.every:
+        # No selector would silently decode the whole clip and save zero
+        # frames with exit 0; default to every frame instead.
+        args.every = 1
     idx = saved = 0
     while True:
         ret, frame = cap.read()
@@ -47,6 +51,8 @@ def main() -> int:
             saved += 1
             if args.limit and saved >= args.limit:
                 break
+        if wanted is not None and not args.every and saved == len(wanted):
+            break  # all requested frames written; stop decoding to EOF
         idx += 1
     cap.release()
     print(f"saved {saved} frames to {out}/")

@@ -28,8 +28,11 @@ def main() -> int:
     ap.add_argument("--scenario", default="right_turn")
     ap.add_argument("--with-model", action="store_true",
                     help="include the YOLO forward (random weights)")
-    ap.add_argument("--engine", choices=["wavefront", "exact", "exact_device"],
-                    default="wavefront")
+    ap.add_argument("--engine", choices=["wavefront", "exact"],
+                    default="wavefront",
+                    help="path_finding stage implementation; exact_device's "
+                         "serving latency is measured end-to-end by "
+                         "tools/diagnose_engines.py")
     ap.add_argument("--timing-data-path", default="timing_data.txt")
     ap.add_argument("--samples-path", default=None,
                     help="also dump raw per-frame samples as JSON "
@@ -49,7 +52,9 @@ def main() -> int:
         closest_walkable_cell,
         find_paths,
     )
+    from vision_assist_tpu.golden.pipeline import materialize_cells
     from vision_assist_tpu.semantics.analyser import InstructionEngine
+    from vision_assist_tpu.semantics.sections import build_path
     from vision_assist_tpu.utils.profiling import StageTimer
 
     cfg = replay_config()
@@ -103,18 +108,30 @@ def main() -> int:
                 walk, jnp.stack([x, y])))(pk.centre_x, pk.centre_y)
             start = closest_walkable_cell(
                 walk, jnp.array([cfg.frame_width // 2, cfg.frame_height]))
-            pb = find_paths(walk, pen, start, goals, pk.valid)
-            pb.cells.block_until_ready()
+            if args.engine == "wavefront":
+                pb = find_paths(walk, pen, start, goals, pk.valid)
+                pb.cells.block_until_ready()
+            else:
+                # exact: the engine FrameProcessor actually serves (native
+                # C++ when buildable, numpy twin otherwise), one search per
+                # valid peak. (exact_device's serving latency is measured
+                # end-to-end by tools/diagnose_engines.py.)
+                walk_np = np.asarray(walk)
+                pen_np64 = np.asarray(pen, np.float64)
+                start_t = tuple(np.asarray(start))
+                goals_np = np.asarray(goals)
+                exact_rows = [
+                    fp._exact.find_path(walk_np, pen_np64, start_t,
+                                        tuple(goals_np[k]), g)
+                    for k in range(int(pk.valid.sum()))]
+                # Wavefront results still feed the analysis stage below so
+                # the profile covers every stage for every engine.
+                pb = find_paths(walk, pen, start, goals, pk.valid)
+                pb.cells.block_until_ready()
         with timer.stage("path_analysis"):
-            import jax as _jax
-
-            plan = type("P", (), {})()
-            paths, peaks = [], []
+            paths = []
             pen_np = np.asarray(pen, np.float64)
             art_np = np.asarray(art)
-            from vision_assist_tpu.golden.pipeline import materialize_cells
-            from vision_assist_tpu.semantics.sections import build_path
-
             for k in range(int(pk.valid.sum())):
                 L = int(pb.lengths[k])
                 rc = [tuple(x) for x in np.asarray(pb.cells[k][:L])]

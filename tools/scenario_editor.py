@@ -55,9 +55,14 @@ def from_image(path: str, rows: int, cols: int, threshold: int) -> np.ndarray:
 
 
 def from_ascii(path: str) -> np.ndarray:
+    # Keep blank lines: they are intentional all-unwalkable rows; dropping
+    # them would shift the layout vertically. Only trailing fully-empty
+    # lines (editor artifacts) are stripped.
     lines = pathlib.Path(path).read_text().splitlines()
-    rows = [[ch in "#1xX" for ch in line] for line in lines if line]
-    width = max(len(r) for r in rows)
+    while lines and not lines[-1].strip():
+        lines.pop()
+    rows = [[ch in "#1xX" for ch in line] for line in lines]
+    width = max((len(r) for r in rows), default=0)
     return np.array([r + [False] * (width - len(r)) for r in rows])
 
 
@@ -130,9 +135,14 @@ def main() -> int:
         return 0
 
     load = None
+    rows, cols = args.rows, args.cols
     if args.edit:
         load = np.load(out_dir / f"{args.name}_grids.npy")
-    run_gui(args.name, args.rows, args.cols, out_dir, load)
+        # The loaded grid's shape wins over the --rows/--cols defaults, or a
+        # non-64x36 scenario reopens in a wrong-sized window with paint
+        # clamped to the smaller bounds.
+        rows, cols = load.shape
+    run_gui(args.name, rows, cols, out_dir, load)
     return 0
 
 
