@@ -46,7 +46,7 @@ def letterbox_np(img: np.ndarray, polygons: list[np.ndarray], dst: int,
 
 def random_affine(img: np.ndarray, polygons: list[np.ndarray],
                   rng: np.random.Generator, cfg: AugmentConfig,
-                  dst: int, border: int = 0
+                  dst: int
                   ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Random scale+translate (degrees=0 in the reference recipe)."""
     import cv2

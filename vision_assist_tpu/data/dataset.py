@@ -32,7 +32,10 @@ def parse_label_file(path: pathlib.Path) -> tuple[list[np.ndarray], np.ndarray]:
         return polygons, np.zeros((0,), np.int32)
     for line in path.read_text().strip().splitlines():
         parts = line.split()
-        if len(parts) < 7:  # class + at least 3 points
+        if len(parts) < 7 or len(parts) % 2 == 0:
+            # class + at least 3 points; an odd coordinate count (even
+            # token total) is a malformed line — skip it like short lines
+            # instead of crashing the whole split's reshape at startup.
             continue
         classes.append(int(float(parts[0])))
         pts = np.array(parts[1:], dtype=np.float32).reshape(-1, 2)
@@ -115,13 +118,18 @@ def polygons_to_overlap_mask(polygons: list[np.ndarray], classes: np.ndarray,
     mh, mw = mask_hw
     sx, sy = mw / w, mh / h
 
-    n = min(len(polygons), max_instances)
+    # Rank ALL instances by bbox area, then keep the largest max_instances:
+    # truncating first would drop overflow instances in arbitrary label-file
+    # order (a mosaic batch can exceed the cap) and leave their real object
+    # pixels labelled background. The kept list is already area-descending,
+    # which is the required paint order (smaller instances overwrite).
     areas = []
-    for p in polygons[:n]:
+    for p in polygons:
         x1, y1 = p.min(axis=0)
         x2, y2 = p.max(axis=0)
         areas.append(max(x2 - x1, 0) * max(y2 - y1, 0))
-    order = np.argsort(-np.asarray(areas)) if n else np.zeros(0, np.int64)
+    order = (np.argsort(-np.asarray(areas))[:max_instances]
+             if polygons else np.zeros(0, np.int64))
 
     mask = np.zeros((mh, mw), np.uint8)
     boxes = np.zeros((max_instances, 4), np.float32)

@@ -181,9 +181,7 @@ def run_video(args) -> int:
                 break
             dt = time.perf_counter() - t0
             if timer is not None:
-                with timer.stage("frame"):
-                    pass
-                timer._pending["frame"] = dt
+                timer.add_sample("frame", dt)
                 timer.end_frame()
                 timer.write(args.timing_data_path)
             processed += 1

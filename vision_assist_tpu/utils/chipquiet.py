@@ -48,9 +48,14 @@ def contending_processes(extra: tuple[str, ...] = ()) -> list[dict]:
         argv = [a.decode(errors="replace") for a in argv if a]
         if len(argv) < 2:
             continue
-        if os.path.basename(argv[0]) not in ("python", "python3"):
+        # Versioned interpreters (python3.12) and option flags
+        # (`python3 -u script.py`) must not hide a contender — a missed
+        # trainer stamps an invalid measurement chip_quiet: true, the
+        # exact failure this module exists to prevent.
+        if not os.path.basename(argv[0]).startswith("python"):
             continue
-        base = os.path.basename(argv[1])
+        script = next((a for a in argv[1:] if not a.startswith("-")), "")
+        base = os.path.basename(script)
         if base in targets:
             found.append({"pid": pid, "script": base})
     return found

@@ -36,6 +36,11 @@ class StageTimer:
                 # (FrameProcessor_with_time_saving.py:376-378).
                 self._frame_dropped = True
 
+    def add_sample(self, name: str, dt: float) -> None:
+        """Record an externally measured duration for this frame
+        (e.g. the whole-frame wall time the caller already timed)."""
+        self._pending[name] = self._pending.get(name, 0.0) + dt
+
     def end_frame(self) -> None:
         if not self._frame_dropped:
             for name, dt in self._pending.items():
