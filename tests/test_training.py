@@ -505,3 +505,26 @@ class TestLoaderShutdown:
         # And a full pass still terminates normally afterwards.
         n = sum(1 for _ in loader.epoch(workers=2))
         assert n == len(loader)
+
+
+def test_overlap_mask_cap_keeps_largest_instances():
+    """When an image (e.g. a mosaic composite) carries more polygons than
+    max_instances, the LARGEST instances must be kept — truncating in
+    label-file order would leave big real objects painted as background."""
+    from vision_assist_tpu.data.dataset import polygons_to_overlap_mask
+
+    def square(x, y, s):
+        return np.array([[x, y], [x + s, y], [x + s, y + s], [x, y + s]],
+                        np.float32)
+
+    # 4 tiny squares first in file order, then one huge one.
+    polys = [square(2 * i, 2 * i, 1) for i in range(4)] + [square(10, 10, 40)]
+    classes = np.zeros(5, np.int32)
+    mask, boxes, _, valid = polygons_to_overlap_mask(
+        polys, classes, (64, 64), (64, 64), max_instances=2)
+    kept_areas = sorted(
+        (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        for i in range(2))
+    assert valid[:2].all()
+    assert kept_areas[-1] == 1600.0  # the huge square survived the cap
+    assert (mask == 1).sum() > 1000  # ...and is painted (slot 0 = largest)
