@@ -74,4 +74,4 @@ fi
 # Bench last: BENCH_LOCAL is a convenience copy — the scoreboard BENCH_r{N}
 # is captured by the driver after the round, with bench.py's own quiet-chip
 # guard. If the round clock cuts this step, nothing is inconsistent.
-python bench.py | tee BENCH_LOCAL.json
+python bench.py

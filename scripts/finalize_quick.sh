@@ -90,4 +90,4 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 
 python scripts/render_demo.py -n 6 --out assets/demo || true
 
-python bench.py | tee BENCH_LOCAL.json
+python bench.py

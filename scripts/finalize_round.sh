@@ -131,7 +131,7 @@ python tools/diagnose_engines.py || true
 # (one process, one compile).
 python scripts/render_demo.py -n 6 --out assets/demo || true
 
-python bench.py | tee BENCH_LOCAL.json
+python bench.py
 
 # Per-stage timing artifact on the real chip (reference timing_data.txt
 # format + raw samples for the box-plot tool).

@@ -225,13 +225,11 @@ def regen_artifacts(v8n_promoted: bool, y11n_promoted: bool) -> None:
 
 
 def run_bench() -> None:
-    """Run bench.py on the (now quiet) chip; record its one JSON line."""
+    """Run bench.py on the (now quiet) chip; bench.py self-stages its
+    measurement (with a measured_at stamp) into BENCH_LOCAL.json."""
     wait_relay_up()
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                        capture_output=True, text=True)
-    for line in r.stdout.splitlines():
-        if line.startswith('{"metric"'):
-            (REPO / "BENCH_LOCAL.json").write_text(line + "\n")
     print(r.stdout[-2000:], flush=True)
 
 

@@ -36,11 +36,15 @@ def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
     if len(argv) < 2:
         return False
     interp = os.path.basename(argv[0])
-    if interp not in ("bash", "sh", "python", "python3"):
+    # Versioned interpreters (python3.12) and option flags (-u) count too —
+    # mirrors chipquiet.py's detection (ADVICE r3): a trainer launched as
+    # "python3.12 -u train_model.py" must be parked, not just stamped.
+    if interp not in ("bash", "sh") and not interp.startswith("python"):
         return False
+    script = next((a for a in argv[1:] if not a.startswith("-")), "")
     # Exact basename equality, not endswith: an unrelated script with a
     # suffix-matching name (my_train_model.py) must not be killed (ADVICE r2).
-    return os.path.basename(argv[1]) in targets
+    return os.path.basename(script) in targets
 
 
 def scan(targets: tuple[str, ...]) -> list[int]:
