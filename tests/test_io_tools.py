@@ -20,8 +20,16 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 class TestTTS:
     def test_generates_three_assets(self, tmp_path):
+        # Default backend: the offline formant synthesizer (mono speech).
         paths = generate_cue_assets(tmp_path)
         assert set(paths) == {"move_left", "move_right", "continue_forward"}
+        for p in paths.values():
+            with wave.open(str(p)) as w:
+                assert w.getnchannels() == 1
+                assert w.getnframes() > 1000
+
+    def test_earcon_backend_generates_stereo(self, tmp_path):
+        paths = generate_cue_assets(tmp_path, speech_backend="earcon")
         for p in paths.values():
             with wave.open(str(p)) as w:
                 assert w.getnchannels() == 2

@@ -2,11 +2,14 @@
 
 The reference pre-renders "move left"/"move right"/"continue forward" speech
 offline with Coqui TTS (testing/tts/using_tts.py:8-13) and ships the mp3s.
-This environment has no TTS model and no egress, so the default backend
-synthesises distinctive *earcons* (spatialised two-tone sweeps: left =
-descending panned left, right = ascending panned right, forward = steady
-centred) — same product role (pre-generated per-answer audio assets), fully
-offline. A speech backend hook is provided for deployments that have one.
+This repo ships the same capability fully offline: the default backend is
+the built-in rule-based formant synthesizer (io/speech.py — Klatt-style
+source-filter model with a hand-built instruction lexicon), which renders
+the three answers as intelligible spoken words. Distinctive *earcons*
+(spatialised two-tone sweeps: left = descending panned left, right =
+ascending panned right, forward = steady centred) remain available as a
+fallback backend, and ``speech_backend`` still accepts any external
+``(text) -> (audio, sr)`` engine for deployments that have one.
 """
 
 from __future__ import annotations
@@ -61,15 +64,27 @@ def write_wav(path: str | pathlib.Path, audio: np.ndarray) -> None:
 
 
 def generate_cue_assets(out_dir: str | pathlib.Path = "assets/audio",
-                        speech_backend=None) -> dict[str, pathlib.Path]:
+                        speech_backend="builtin") -> dict[str, pathlib.Path]:
     """Pre-render one audio file per FinalAnswer (the reference's offline
-    generation pattern). ``speech_backend(text) -> (audio, sr)`` overrides the
-    earcon synthesiser when a real TTS engine is available."""
+    generation pattern, testing/tts/using_tts.py).
+
+    ``speech_backend``: "builtin" (default) uses the offline formant
+    synthesizer in io/speech.py; "earcon" renders the two-tone cues; any
+    callable ``(text) -> (audio, sr)`` plugs in an external TTS engine.
+    """
     out = pathlib.Path(out_dir)
+    if speech_backend == "builtin":
+        try:
+            from vision_assist_tpu.io.speech import synthesize
+            speech_backend = synthesize
+        except ImportError:  # no scipy: fall back to the earcons
+            speech_backend = "earcon"
     paths = {}
     for answer in FinalAnswer:
         path = out / f"{answer.value}.wav"
-        if speech_backend is not None:
+        if speech_backend == "earcon":
+            write_wav(path, render_cue(answer))
+        else:
             audio, sr = speech_backend(answer.value.replace("_", " "))
             if sr != SAMPLE_RATE:
                 # Not an assert: under python -O it would vanish and a
@@ -79,7 +94,5 @@ def generate_cue_assets(out_dir: str | pathlib.Path = "assets/audio",
                     f"speech backend produced {sr} Hz audio; resample to "
                     f"{SAMPLE_RATE} Hz in the backend")
             write_wav(path, np.asarray(audio))
-        else:
-            write_wav(path, render_cue(answer))
         paths[answer.value] = path
     return paths

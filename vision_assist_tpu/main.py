@@ -45,8 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--transfer-format", choices=["bgr", "i420"],
                    default="i420",
                    help="host->device frame format; i420 (camera-native "
-                        "YUV 4:2:0, default) streams 2.13x fewer bytes and "
-                        "converts on-device bit-exactly vs cv2 (ops/yuv.py)")
+                        "YUV 4:2:0, default) streams 2.13x fewer bytes; the "
+                        "on-device conversion matches cv2 within +-1 code "
+                        "value and 4:2:0 chroma subsampling is lossy for "
+                        "BGR-native sources (ops/yuv.py) — use bgr when "
+                        "strict reference parity matters")
     v.add_argument("--depth", type=int, default=1,
                    help="frames in flight; >1 pipelines submits through "
                         "StreamingServer (throughput mode: overlaps the "
