@@ -259,7 +259,17 @@ def main() -> int:
         # and revert to the previous epoch's full TrainState; the loader's
         # rng stream has advanced, so the retried epochs see fresh batches.
         healthy = [h for h in history[-8:] if not h.get("reverted")]
-        if len(healthy) >= 4 and (out / "state").exists():
+        # Only rank 0 writes out/state, so on a multi-process run the
+        # availability bit must come from rank 0 (ADVICE r3: a local
+        # exists() check desynchronizes the revert decision when $OUT is
+        # not a shared filesystem — rank 0 reverts, the others advance,
+        # and the next collective hangs/diverges).
+        state_avail = (out / "state").exists()
+        if multi:
+            from jax.experimental import multihost_utils
+            state_avail = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(state_avail)))
+        if len(healthy) >= 4 and state_avail:
             med_loss = float(np.median([h["loss"] for h in healthy]))
             med_fg = float(np.median([h["fg_per_img"] for h in healthy]))
             collapsed = (not np.isfinite(mean["loss"])
@@ -280,6 +290,15 @@ def main() -> int:
                     tmp = out / "history.json.tmp"
                     tmp.write_text(json.dumps(history, indent=1))
                     tmp.replace(out / "history.json")
+                if multi and not (out / "state").exists():
+                    # The decision was synchronized from rank 0, but this
+                    # rank cannot perform the restore: loud failure beats a
+                    # silent desync (every rank must see the checkpoint).
+                    raise RuntimeError(
+                        "collapse-revert in multi-process mode requires "
+                        f"$OUT ({out}) on a filesystem shared by all "
+                        "processes; out/state is missing on rank "
+                        f"{jax.process_index()}")
                 state = load_train_state(out / "state", state)
                 if multi:  # restored leaves are host-local; re-place
                     state = place_state(state)
