@@ -1,0 +1,74 @@
+#!/bin/bash
+# Round-boundary pre-flight (VERDICT r3 #9): make the next boundary cost
+# minutes, not a lost scoreboard.
+#   (a) relaunch dead training chains (idempotent — each chain gates its
+#       stages on TRAINING_RESULTS notes and relaunches parked runs),
+#   (b) stage the freshest bench (bench.py self-stages to BENCH_LOCAL.json
+#       with measured_at; on a relay outage the scoreboard run replays it
+#       with a staleness stamp),
+#   (c) verify the goldens are green (scenario answers + model goldens).
+# Safe to run any time; heavy work happens only where needed.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs
+
+chain_alive() { # exact-argv /proc scan (never pattern match)
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - "$1" <<'EOF'
+import sys
+sys.path.insert(0, "scripts")
+import stop_training
+sys.exit(0 if stop_training.scan((sys.argv[1],)) else 1)
+EOF
+}
+
+relay_up() {
+  timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8093' 2>/dev/null
+}
+
+# (a) relaunch dead chains -- the r3b chain owns the training endgame; the
+# polish chain interlocks behind it. Both scrub CPU platform overrides at
+# startup and wait out relay outages themselves.
+if chain_alive round3b_chain.py; then
+  echo "preflight: r3b chain alive"
+else
+  echo "preflight: relaunching r3b chain"
+  nohup python scripts/round3b_chain.py >> runs/chain_r4.log 2>&1 &
+  echo $! > /tmp/chain.pid
+fi
+if chain_alive polish_chain.py; then
+  echo "preflight: polish chain alive"
+else
+  echo "preflight: relaunching polish chain"
+  nohup python scripts/polish_chain.py >> runs/chain_polish.log 2>&1 &
+  echo $! > /tmp/polish.pid
+fi
+
+# (b) stage the freshest bench. Only when the relay is up AND the staged
+# measurement is older than 6 h — a fresh stage means the boundary replay
+# is near-live even if the tunnel dies again.
+STALE=$(python - <<'EOF'
+import json, pathlib, time
+p = pathlib.Path("BENCH_LOCAL.json")
+try:
+    d = json.loads(p.read_text())
+    t = time.mktime(time.strptime(d["measured_at"], "%Y-%m-%dT%H:%M:%SZ"))
+    print("fresh" if time.time() - t < 6 * 3600 else "stale")
+except Exception:
+    print("stale")
+EOF
+)
+if relay_up && [ "$STALE" = "stale" ]; then
+  echo "preflight: staging a fresh bench (chip reserved via runs/STOP)"
+  touch runs/STOP
+  timeout 3600 python bench.py || echo "preflight: bench failed"
+  rm -f runs/STOP
+else
+  echo "preflight: bench stage skipped (relay_up=$(relay_up && echo yes || echo no), staged=$STALE)"
+fi
+
+# (c) goldens green — scenario answers (host twin, CPU-only) + the quick
+# golden suites.
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu nice -n 19 python -m pytest \
+  tests/test_golden_pipeline.py tests/test_model_goldens.py tests/test_video_golden.py -q \
+  || { echo "preflight: GOLDENS RED"; exit 1; }
+echo "preflight: clean"
