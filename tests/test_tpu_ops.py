@@ -142,7 +142,11 @@ def test_wavefront_invariants(device_fields):
 # relaxation scans the WHOLE path-so-far (PathFinder.py:76: the loop runs over
 # every interior point, not a 7-point window) against a persistent cross-call
 # angle cache whose radians/degrees confusion zeroes repeated vector pairs.
-# No (cell x direction x bounded-history) state can reproduce that, so this
+# No (cell x direction x bounded-history) state can reproduce that — MEASURED
+# in round 4 by tools/sweep_k_history.py (k in 2..5, exact expanded-state
+# relaxation with the window charge on the k-move tail): no k reaches 13/13
+# and every nontrivial charge loses fixtures the penalty-only model matched
+# (table in PARITY.md, diagnostics/k_history_sweep.json) — so this
 # divergence is closed the other way: engine="exact_device" replicates the
 # whole quirk set on-chip and vmaps over streams — the batched 13/13-parity
 # mode (tests/test_multi_stream.py::test_exact_device_batched_matches_goldens
