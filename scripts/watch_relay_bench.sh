@@ -1,9 +1,11 @@
 #!/bin/bash
-# Bank a real driver-grade bench the moment the TPU relay tunnel returns
-# (VERDICT r3 #1: the scoreboard number must be captured early and often,
-# not only at the round boundary). Reserves the chip via the fresh
-# runs/STOP convention the training chains respect (<30 min = reserved),
-# keeps the flag fresh while the bench runs, then releases it so the
+# Bank the chip artifacts the moment the TPU relay tunnel returns
+# (VERDICT r3 #1/#3/#4: capture early and often, not only at the round
+# boundary). Order: scoreboard bench first, then the serving-detection
+# count on the real device, then the device-time p50 profile (long fresh
+# compiles over the relay, so it goes last). Reserves the chip via the
+# fresh runs/STOP convention the training chains respect (<30 min =
+# reserved), keeps the flag fresh throughout, then releases it so the
 # chains relaunch training.
 set -u
 cd "$(dirname "$0")/.."
@@ -11,12 +13,24 @@ cd "$(dirname "$0")/.."
 while ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8093' 2>/dev/null; do
   sleep 60
 done
-echo "relay up at $(date -u +%FT%TZ); reserving chip and benching"
+echo "relay up at $(date -u +%FT%TZ); reserving chip"
 
 touch runs/STOP
 ( while true; do sleep 300; touch runs/STOP; done ) &
 KEEPALIVE=$!
 trap 'kill "$KEEPALIVE" 2>/dev/null; rm -f runs/STOP' EXIT
 
-python bench.py > /tmp/bench_r4_first.json 2> /tmp/bench_r4_first.err
+echo "=== bench ==="
+timeout 7200 python bench.py > /tmp/bench_r4_first.json 2> /tmp/bench_r4_first.err
 echo "bench exit=$?: $(tail -c 2000 /tmp/bench_r4_first.json)"
+
+echo "=== serving detections (chip) ==="
+timeout 3600 python tools/diagnose_detections.py chip \
+  > /tmp/detections_r4.log 2>&1
+echo "detections exit=$?: $(tail -n 1 /tmp/detections_r4.log)"
+
+echo "=== device p50 ==="
+timeout 10800 python tools/diagnose_device_p50.py \
+  > /tmp/device_p50_r4.log 2>&1
+echo "device_p50 exit=$?: $(tail -n 1 /tmp/device_p50_r4.log)"
+echo "watcher done at $(date -u +%FT%TZ)"
