@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Round-4 recipe-lever run (VERDICT r3 #2): new augmentation levers aimed
+at the from-scratch mAP gap.
+
+Waits for the r3b chain (v8n r2 finish + faithful y11n), then runs the
+proven restart pattern on v8n@640 — init from the promoted best, full LR
+re-warm, full cosine — with the two new levers enabled:
+  * instance copy-paste (p=0.3, data/augment.copy_paste),
+  * rotation/shear/perspective jitter (5 deg / 2 deg / 5e-4 — body-worn
+    camera tilt prior; data/augment.random_affine full projective path).
+Promotion only on full-val improvement, so the downside is bounded at zero;
+either way the curves + results twin land in assets/ and the outcome is
+recorded in TRAINING_RESULTS.json (a documented negative is still a tried
+lever).
+
+Interlock: runs after round3b_chain.py; polish_chain.py and study_chain.py
+wait for this script in turn. Idempotent via the TRAINING_RESULTS note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+import round3b_chain as chain  # noqa: E402  (shared stage helpers)
+
+NOTE = ("recipe levers: copy_paste 0.3 + rotation/shear/perspective "
+        "(5deg/2deg/5e-4), 120-epoch restart from the promoted best")
+ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
+        "--max-rss-gb", "100", "--wire-format", "i420",
+        "--copy-paste", "0.3", "--degrees", "5.0", "--shear", "2.0",
+        "--perspective", "0.0005",
+        "--resume", "assets/weights/v8n_640_best.msgpack"]
+RUN = "v8n_640_levers"
+
+
+def r3b_alive() -> bool:
+    me = str(os.getpid())
+    for p in pathlib.Path("/proc").iterdir():
+        if not p.name.isdigit() or p.name == me:
+            continue
+        try:
+            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
+        except OSError:
+            continue
+        if len(argv) >= 2 and argv[0].startswith(b"python") \
+                and argv[1].endswith(b"round3b_chain.py"):
+            return True
+    return False
+
+
+def stage_done() -> bool:
+    result = json.loads(chain.RESULTS.read_text())
+    return any(r.get("note", "").startswith("recipe levers")
+               for r in result.get("restart_runs", []))
+
+
+def main() -> None:
+    os.environ.pop("JAX_PLATFORMS", None)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    while r3b_alive():
+        print("r3b chain still running; waiting...", flush=True)
+        time.sleep(180)
+    chain.wait_for_training_idle()
+
+    if stage_done():
+        print("levers run already recorded; nothing to do", flush=True)
+        return
+
+    launch = lambda: chain.launch_supervised(  # noqa: E731
+        f"runs/{RUN}", f"{RUN}_best", ARGS, f"chain_{RUN}.log")
+    chain.wait_relay_up()
+    launch()
+    time.sleep(120)
+    chain.wait_run_complete(REPO / "runs" / RUN, 120, launch)
+    promoted = chain.promote(REPO / "runs" / RUN, "yolov8n-seg", 640,
+                             "v8n_640_best.msgpack", "", NOTE)
+    cpu = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    hist = REPO / "runs" / RUN / "history.json"
+    if hist.exists():
+        chain.sh(sys.executable, "tools/plot_training.py", str(hist),
+                 "-o", f"assets/{RUN}_training_curves.png",
+                 "--csv", f"assets/{RUN}_results.csv", check=False, env=cpu)
+    if promoted:
+        chain.regen_artifacts(True, False)
+        chain.run_bench()
+    chain.commit(f"Recipe-lever run (copy-paste + rotation/perspective): "
+                 f"{'promoted' if promoted else 'kept prior best'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,9 @@ def r3b_chain_alive() -> bool:
             argv = p.joinpath("cmdline").read_bytes().split(b"\0")
         except OSError:
             continue
-        if len(argv) >= 2 and argv[0].startswith(b"python") \
-                and argv[1].endswith(b"round3b_chain.py"):
+        if len(argv) >= 2 and argv[0].startswith(b"python") and (
+                argv[1].endswith(b"round3b_chain.py")
+                or argv[1].endswith(b"levers_chain.py")):
             return True
     return False
 

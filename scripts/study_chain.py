@@ -45,6 +45,7 @@ def other_chain_alive() -> bool:
             continue
         if len(argv) >= 2 and argv[0].startswith(b"python") and (
                 argv[1].endswith(b"round3b_chain.py")
+                or argv[1].endswith(b"levers_chain.py")
                 or argv[1].endswith(b"polish_chain.py")):
             return True
     return False

@@ -32,6 +32,15 @@ def main() -> int:
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--lr0", type=float, default=0.01)
     ap.add_argument("--close-mosaic", type=int, default=10)
+    # Round-4 recipe levers (default 0 = the reference recipe exactly).
+    ap.add_argument("--copy-paste", type=float, default=0.0,
+                    help="per-sample probability of pasting donor instances")
+    ap.add_argument("--degrees", type=float, default=0.0,
+                    help="random rotation range (deg)")
+    ap.add_argument("--shear", type=float, default=0.0,
+                    help="random shear range (deg)")
+    ap.add_argument("--perspective", type=float, default=0.0,
+                    help="random projective coefficient range (~0.0005)")
     ap.add_argument("--wire-format", choices=["bgr", "i420"], default="bgr",
                     help="batch image format over the relay; i420 ships "
                          "2.13x fewer bytes (and leaks 2.13x less host RSS) "
@@ -135,8 +144,11 @@ def main() -> int:
         local_loader_params,
     )
     local_bs, local_seed = local_loader_params(args.batch, seed=0)
+    from vision_assist_tpu.data.augment import AugmentConfig
+    aug = AugmentConfig(copy_paste=args.copy_paste, degrees=args.degrees,
+                        shear=args.shear, perspective=args.perspective)
     loader = BatchLoader(ds, batch_size=local_bs, imgsz=args.imgsz,
-                         augment=True, seed=local_seed,
+                         augment=True, seed=local_seed, aug=aug,
                          wire_format=args.wire_format)
     steps_per_epoch = len(ds) // args.batch  # GLOBAL steps per epoch
     if steps_per_epoch == 0:

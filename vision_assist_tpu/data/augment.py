@@ -24,6 +24,13 @@ class AugmentConfig:
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
+    # Round-4 recipe levers (VERDICT r3 #2; all default OFF = the reference
+    # recipe exactly). shear in degrees; perspective is the ultralytics-style
+    # projective coefficient range; copy_paste is the per-sample probability
+    # of pasting donor instances (data from a second image).
+    shear: float = 0.0
+    perspective: float = 0.0
+    copy_paste: float = 0.0
 
 
 def letterbox_np(img: np.ndarray, polygons: list[np.ndarray], dst: int,
@@ -48,22 +55,117 @@ def random_affine(img: np.ndarray, polygons: list[np.ndarray],
                   rng: np.random.Generator, cfg: AugmentConfig,
                   dst: int
                   ) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Random scale+translate (degrees=0 in the reference recipe)."""
+    """Random scale+translate, optionally rotation/shear/perspective.
+
+    The reference recipe runs degrees=shear=perspective=0, and with those
+    zeros this is bit-identical to the plain scale+translate warp (the fast
+    warpAffine path). The extra terms are the round-4 recipe levers — a
+    body-worn camera tilts and pitches, so rotation/perspective jitter is a
+    realistic geometry prior for this dataset. Random draws happen in a
+    FIXED order regardless of which levers are enabled, so a seeded run's
+    scale/translate stream is unchanged when the levers stay off.
+    """
     import cv2
 
     s = rng.uniform(1 - cfg.scale, 1 + cfg.scale)
     tx = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * dst
     ty = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * dst
     cx, cy = img.shape[1] / 2, img.shape[0] / 2
-    m = np.array([[s, 0, tx - s * cx], [0, s, ty - s * cy]], np.float32)
 
-    out = cv2.warpAffine(img, m, (dst, dst), borderValue=(114, 114, 114))
+    if not (cfg.degrees or cfg.shear or cfg.perspective):
+        m = np.array([[s, 0, tx - s * cx], [0, s, ty - s * cy]], np.float32)
+        out = cv2.warpAffine(img, m, (dst, dst), borderValue=(114, 114, 114))
+        polys = []
+        for p in polygons:
+            q = p @ m[:, :2].T + m[:, 2]
+            q = np.clip(q, 0, dst - 1e-3)
+            polys.append(q.astype(np.float32))
+        return out, polys
+
+    ang = np.radians(rng.uniform(-cfg.degrees, cfg.degrees))
+    shx = np.tan(np.radians(rng.uniform(-cfg.shear, cfg.shear)))
+    shy = np.tan(np.radians(rng.uniform(-cfg.shear, cfg.shear)))
+    px = rng.uniform(-cfg.perspective, cfg.perspective)
+    py = rng.uniform(-cfg.perspective, cfg.perspective)
+
+    centre = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float64)
+    persp = np.array([[1, 0, 0], [0, 1, 0], [px, py, 1]], np.float64)
+    rot = np.array([[s * np.cos(ang), -s * np.sin(ang), 0],
+                    [s * np.sin(ang), s * np.cos(ang), 0],
+                    [0, 0, 1]], np.float64)
+    shear = np.array([[1, shx, 0], [shy, 1, 0], [0, 0, 1]], np.float64)
+    trans = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+    m3 = trans @ shear @ rot @ persp @ centre
+
+    out = cv2.warpPerspective(img, m3, (dst, dst),
+                              borderValue=(114, 114, 114))
     polys = []
     for p in polygons:
-        q = p @ m[:, :2].T + m[:, 2]
+        q = np.concatenate([p, np.ones((len(p), 1), p.dtype)], axis=1) @ m3.T
+        q = q[:, :2] / q[:, 2:3]
         q = np.clip(q, 0, dst - 1e-3)
         polys.append(q.astype(np.float32))
     return out, polys
+
+
+def copy_paste(img: np.ndarray, polys: list[np.ndarray], classes: list[int],
+               donor_img: np.ndarray, donor_polys: list[np.ndarray],
+               donor_classes: list[int], rng: np.random.Generator,
+               max_paste: int = 3, max_ioa: float = 0.3
+               ) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+    """Instance copy-paste (round-4 lever): paste up to ``max_paste`` donor
+    instances at random positions; a candidate is skipped when its bbox
+    covers an existing instance's bbox by more than ``max_ioa``.
+
+    Both images must share the same (square, letterboxed) geometry. Pixels
+    are hard-pasted inside the exact polygon raster; the pasted polygon and
+    class join the label set, so masks/boxes stay consistent downstream
+    (rasterisation happens after all geometry, loader.py).
+    """
+    import cv2
+
+    h, w = img.shape[:2]
+    if not donor_polys:
+        return img, polys, classes
+    out = img.copy()
+    polys = list(polys)
+    classes = list(classes)
+    order = rng.permutation(len(donor_polys))[:max_paste]
+    for i in order:
+        p = donor_polys[int(i)]
+        x1, y1 = p.min(axis=0)
+        x2, y2 = p.max(axis=0)
+        bw, bh = x2 - x1, y2 - y1
+        if bw < 8 or bh < 8 or bw >= w - 2 or bh >= h - 2:
+            continue
+        tx = rng.uniform(0, w - 1 - bw) - x1
+        ty = rng.uniform(0, h - 1 - bh) - y1
+        q = (p + [tx, ty]).astype(np.float32)
+        qx1, qy1 = q.min(axis=0)
+        qx2, qy2 = q.max(axis=0)
+        blocked = False
+        for e in polys:
+            ex1, ey1 = e.min(axis=0)
+            ex2, ey2 = e.max(axis=0)
+            iw = min(qx2, ex2) - max(qx1, ex1)
+            ih = min(qy2, ey2) - max(qy1, ey1)
+            if iw <= 0 or ih <= 0:
+                continue
+            area = max((ex2 - ex1) * (ey2 - ey1), 1e-6)
+            if iw * ih / area > max_ioa:
+                blocked = True
+                break
+        if blocked:
+            continue
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [np.round(q).astype(np.int32)], 1)
+        shift = np.float32([[1, 0, tx], [0, 1, ty]])
+        moved = cv2.warpAffine(donor_img, shift, (w, h))
+        sel = mask.astype(bool)
+        out[sel] = moved[sel]
+        polys.append(q)
+        classes.append(donor_classes[int(i)])
+    return out, polys, classes
 
 
 def hsv_jitter(img: np.ndarray, rng: np.random.Generator,

@@ -93,6 +93,16 @@ class BatchLoader:
                 img, polys = letterbox_np(img, polys, self.imgsz)
                 img, polys = random_affine(img, polys, rng, self.aug,
                                            self.imgsz)
+            if self.aug.copy_paste > 0 and rng.random() < self.aug.copy_paste:
+                from vision_assist_tpu.data.augment import copy_paste
+                j = int(rng.integers(0, len(self.ds)))
+                rj = self.ds.records[j]
+                ij = self.ds.load_image(j)
+                hj, wj = ij.shape[:2]
+                dimg, dpolys = letterbox_np(
+                    ij, [p * [wj, hj] for p in rj.polygons], self.imgsz)
+                img, polys, classes = copy_paste(
+                    img, polys, classes, dimg, dpolys, list(rj.classes), rng)
             gains = (rng.uniform(-1, 1, 3)
                      * [self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v]
                      + 1).astype(np.float32)
