@@ -218,7 +218,8 @@ class BatchLoader:
 
         for w in range(workers):
             threading.Thread(target=worker, args=(w,), daemon=True).start()
-        threading.Thread(target=flusher, daemon=True).start()
+        flusher_t = threading.Thread(target=flusher, daemon=True)
+        flusher_t.start()
         try:
             while True:
                 item = q.get()
@@ -229,9 +230,18 @@ class BatchLoader:
             stop.set()
             with cond:
                 cond.notify_all()
-            try:  # free anything the flusher already queued
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+            # Drain until the flusher has actually exited (ADVICE r3): its
+            # in-flight q.put can succeed after a single drain, pinning one
+            # packed ~20 MB batch until the daemon thread notices stop.
+            deadline = 5.0
+            while True:
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+                if not flusher_t.is_alive() or deadline <= 0:
+                    break
+                flusher_t.join(timeout=0.2)
+                deadline -= 0.2
             results.clear()
