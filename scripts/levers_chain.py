@@ -32,11 +32,12 @@ sys.path.insert(0, str(REPO / "scripts"))
 import round3b_chain as chain  # noqa: E402  (shared stage helpers)
 
 NOTE = ("recipe levers: copy_paste 0.3 + rotation/shear/perspective "
-        "(5deg/2deg/5e-4), 120-epoch restart from the promoted best")
+        "(5deg/2deg/5e-4) + train+test extra data (530 labelled frames), "
+        "120-epoch restart from the promoted best")
 ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
         "--max-rss-gb", "100", "--wire-format", "i420",
         "--copy-paste", "0.3", "--degrees", "5.0", "--shear", "2.0",
-        "--perspective", "0.0005",
+        "--perspective", "0.0005", "--train-split", "train+test",
         "--resume", "assets/weights/v8n_640_best.msgpack"]
 RUN = "v8n_640_levers"
 

@@ -41,6 +41,9 @@ def main() -> int:
                     help="random shear range (deg)")
     ap.add_argument("--perspective", type=float, default=0.0,
                     help="random projective coefficient range (~0.0005)")
+    ap.add_argument("--train-split", default="train",
+                    help="training split(s); 'train+test' adds the 530 "
+                         "labelled test frames (valid stays eval-only)")
     ap.add_argument("--wire-format", choices=["bgr", "i420"], default="bgr",
                     help="batch image format over the relay; i420 ships "
                          "2.13x fewer bytes (and leaks 2.13x less host RSS) "
@@ -134,7 +137,7 @@ def main() -> int:
     # lockstep without any cross-host file dependence.
     is_main = jax.process_index() == 0
 
-    ds = SegDataset(args.data, "train",
+    ds = SegDataset(args.data, args.train_split,
                     cache_images=args.imgsz if args.cache_images else None)
     # Per-process data sharding (parallel/distributed.py): each process loads
     # only its slice of the global batch; slices are assembled into global

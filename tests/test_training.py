@@ -625,3 +625,19 @@ class TestRecipeLevers:
         nl = int(lever._pack(np.arange(4),
                              np.random.default_rng(9))["valid"].sum())
         assert nl > nb
+
+    def test_dataset_multi_split_concatenates(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from vision_assist_tpu.data.dataset import SegDataset
+        for split, n in (("train", 3), ("test", 2)):
+            (tmp_path / split / "images").mkdir(parents=True)
+            (tmp_path / split / "labels").mkdir(parents=True)
+            for i in range(n):
+                cv2.imwrite(str(tmp_path / split / "images" / f"{split}{i}.jpg"),
+                            np.zeros((32, 32, 3), np.uint8))
+                (tmp_path / split / "labels" / f"{split}{i}.txt").write_text(
+                    "0 0.2 0.2 0.8 0.2 0.8 0.8\n")
+        assert len(SegDataset(tmp_path, "train")) == 3
+        both = SegDataset(tmp_path, "train+test")
+        assert len(both) == 5
+        assert all(r.polygons for r in both.records)

@@ -55,15 +55,21 @@ class SegDataset:
     def __init__(self, root: str | pathlib.Path, split: str = "train",
                  cache_images: int | None = None):
         root = pathlib.Path(root)
-        img_dir = root / split / "images"
-        lbl_dir = root / split / "labels"
         self.records: list[ImageRecord] = []
-        for img_path in sorted(img_dir.glob("*.jpg")) + sorted(img_dir.glob("*.png")):
-            polys, classes = parse_label_file(
-                lbl_dir / (img_path.stem + ".txt"))
-            self.records.append(ImageRecord(img_path, polys, classes))
-        if not self.records:
-            raise FileNotFoundError(f"no images under {img_dir}")
+        # "train+test" concatenates labelled splits — an extra-data recipe
+        # lever (the Roboflow test split carries 530 labelled frames from the
+        # SAME source videos as train; the frame-level split regime is
+        # unchanged and valid stays eval-only).
+        for part in split.split("+"):
+            img_dir = root / part / "images"
+            lbl_dir = root / part / "labels"
+            for img_path in (sorted(img_dir.glob("*.jpg"))
+                             + sorted(img_dir.glob("*.png"))):
+                polys, classes = parse_label_file(
+                    lbl_dir / (img_path.stem + ".txt"))
+                self.records.append(ImageRecord(img_path, polys, classes))
+            if not self.records:
+                raise FileNotFoundError(f"no images under {img_dir}")
 
         self._cache: list[np.ndarray] | None = None
         if cache_images:
