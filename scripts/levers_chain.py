@@ -31,15 +31,29 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 import round3b_chain as chain  # noqa: E402  (shared stage helpers)
 
-NOTE = ("recipe levers: copy_paste 0.3 + rotation/shear/perspective "
-        "(5deg/2deg/5e-4) + train+test extra data (530 labelled frames), "
-        "120-epoch restart from the promoted best")
-ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
-        "--max-rss-gb", "100", "--wire-format", "i420",
-        "--copy-paste", "0.3", "--degrees", "5.0", "--shear", "2.0",
-        "--perspective", "0.0005", "--train-split", "train+test",
-        "--resume", "assets/weights/v8n_640_best.msgpack"]
-RUN = "v8n_640_levers"
+# Two attributable stages, each promote-on-improvement:
+#   A: extra data (train+test) + mild geometry jitter — the low-risk pair.
+#   B: instance copy-paste on top — the speculative lever, isolated so a
+#      regression cannot mask stage A's gain.
+STAGES = [
+    ("v8n_640_levers", 120,
+     "recipe levers A: train+test extra data (530 labelled frames) + "
+     "rotation/shear/perspective (5deg/2deg/5e-4), 120-epoch restart from "
+     "the promoted best",
+     ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
+      "--max-rss-gb", "100", "--wire-format", "i420",
+      "--degrees", "5.0", "--shear", "2.0", "--perspective", "0.0005",
+      "--train-split", "train+test",
+      "--resume", "assets/weights/v8n_640_best.msgpack"]),
+    ("v8n_640_leversB", 60,
+     "recipe levers B: + instance copy-paste 0.3, 60-epoch restart from "
+     "the stage-A promoted best",
+     ["--epochs", "60", "--eval-every", "10", "--eval-images", "256",
+      "--max-rss-gb", "100", "--wire-format", "i420",
+      "--degrees", "5.0", "--shear", "2.0", "--perspective", "0.0005",
+      "--train-split", "train+test", "--copy-paste", "0.3",
+      "--resume", "assets/weights/v8n_640_best.msgpack"]),
+]
 
 
 def r3b_alive() -> bool:
@@ -57,10 +71,34 @@ def r3b_alive() -> bool:
     return False
 
 
-def stage_done() -> bool:
+def stage_done(note: str) -> bool:
     result = json.loads(chain.RESULTS.read_text())
-    return any(r.get("note", "").startswith("recipe levers")
+    prefix = note.split(":")[0]
+    return any(r.get("note", "").startswith(prefix)
                for r in result.get("restart_runs", []))
+
+
+def run_stage(run: str, epochs: int, note: str, args: list[str]) -> bool:
+    if stage_done(note):
+        print(f"{run}: already recorded; skipping", flush=True)
+        return False
+    launch = lambda: chain.launch_supervised(  # noqa: E731
+        f"runs/{run}", f"{run}_best", args, f"chain_{run}.log")
+    chain.wait_relay_up()
+    launch()
+    time.sleep(120)
+    chain.wait_run_complete(REPO / "runs" / run, epochs, launch)
+    promoted = chain.promote(REPO / "runs" / run, "yolov8n-seg", 640,
+                             "v8n_640_best.msgpack", "", note)
+    cpu = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    hist = REPO / "runs" / run / "history.json"
+    if hist.exists():
+        chain.sh(sys.executable, "tools/plot_training.py", str(hist),
+                 "-o", f"assets/{run}_training_curves.png",
+                 "--csv", f"assets/{run}_results.csv", check=False, env=cpu)
+    chain.commit(f"Recipe-lever stage {run}: "
+                 f"{'promoted' if promoted else 'kept prior best'}")
+    return promoted
 
 
 def main() -> None:
@@ -72,29 +110,13 @@ def main() -> None:
         time.sleep(180)
     chain.wait_for_training_idle()
 
-    if stage_done():
-        print("levers run already recorded; nothing to do", flush=True)
-        return
-
-    launch = lambda: chain.launch_supervised(  # noqa: E731
-        f"runs/{RUN}", f"{RUN}_best", ARGS, f"chain_{RUN}.log")
-    chain.wait_relay_up()
-    launch()
-    time.sleep(120)
-    chain.wait_run_complete(REPO / "runs" / RUN, 120, launch)
-    promoted = chain.promote(REPO / "runs" / RUN, "yolov8n-seg", 640,
-                             "v8n_640_best.msgpack", "", NOTE)
-    cpu = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
-    hist = REPO / "runs" / RUN / "history.json"
-    if hist.exists():
-        chain.sh(sys.executable, "tools/plot_training.py", str(hist),
-                 "-o", f"assets/{RUN}_training_curves.png",
-                 "--csv", f"assets/{RUN}_results.csv", check=False, env=cpu)
-    if promoted:
+    any_promoted = False
+    for run, epochs, note, args in STAGES:
+        any_promoted |= run_stage(run, epochs, note, args)
+    if any_promoted:
         chain.regen_artifacts(True, False)
         chain.run_bench()
-    chain.commit(f"Recipe-lever run (copy-paste + rotation/perspective): "
-                 f"{'promoted' if promoted else 'kept prior best'}")
+        chain.commit("Recipe-lever artifacts (goldens/demo/bench regen)")
 
 
 if __name__ == "__main__":
