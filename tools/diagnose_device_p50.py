@@ -113,7 +113,8 @@ def main() -> None:
     seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
                     example_hw=(frame_h, frame_w), grid_size=20)
 
-    from bench import load_frames  # the same 30 real val-split photos
+    from bench import ensure_quiet_chip, load_frames
+    quiet = ensure_quiet_chip()
     frames_bgr = load_frames(K, (frame_h, frame_w))
 
     engines = {}
@@ -156,6 +157,7 @@ def main() -> None:
         "device": str(device),
         "north_star_under_15ms": bool(full and min(full) < 15.0),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **quiet,
     }
     path = REPO / "diagnostics" / "device_p50.json"
     path.write_text(json.dumps(out, indent=1))
