@@ -253,13 +253,12 @@ def main() -> None:
     }
     # Self-stage every real measurement so a later relay outage replays
     # the freshest number with a staleness stamp instead of reporting 0.0.
+    # measured_at goes in BOTH the staged copy and stdout, so any consumer
+    # that tees/copies the printed line preserves the timestamp.
+    out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if quiet.get("chip_quiet") and fps > 0:
-        staged = dict(out)
-        staged["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                              time.gmtime())
         try:
-            (REPO / "BENCH_LOCAL.json").write_text(
-                json.dumps(staged) + "\n")
+            (REPO / "BENCH_LOCAL.json").write_text(json.dumps(out) + "\n")
         except OSError:
             pass
     print(json.dumps(out))

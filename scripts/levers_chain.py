@@ -57,18 +57,7 @@ STAGES = [
 
 
 def r3b_alive() -> bool:
-    me = str(os.getpid())
-    for p in pathlib.Path("/proc").iterdir():
-        if not p.name.isdigit() or p.name == me:
-            continue
-        try:
-            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
-        except OSError:
-            continue
-        if len(argv) >= 2 and argv[0].startswith(b"python") \
-                and argv[1].endswith(b"round3b_chain.py"):
-            return True
-    return False
+    return chain.chains_alive("round3b_chain.py")
 
 
 def stage_done(note: str) -> bool:

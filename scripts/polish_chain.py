@@ -46,23 +46,11 @@ Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "60",
 
 
 def r3b_chain_alive() -> bool:
-    """Exact-argv /proc scan (same discipline as stop_training.py) — a pid
-    file is only as reliable as the launcher that remembered to write it,
-    and a missed interlock would run two chains' chip stages and
+    """Exact-argv /proc scan (shared chain.chains_alive) — a pid file is
+    only as reliable as the launcher that remembered to write it, and a
+    missed interlock would run two chains' chip stages and
     TRAINING_RESULTS read-modify-writes concurrently."""
-    me = str(os.getpid())
-    for p in pathlib.Path("/proc").iterdir():
-        if not p.name.isdigit() or p.name == me:
-            continue
-        try:
-            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
-        except OSError:
-            continue
-        if len(argv) >= 2 and argv[0].startswith(b"python") and (
-                argv[1].endswith(b"round3b_chain.py")
-                or argv[1].endswith(b"levers_chain.py")):
-            return True
-    return False
+    return chain.chains_alive("round3b_chain.py", "levers_chain.py")
 
 
 def stage_done(results_key: str, note_prefix: str) -> bool:

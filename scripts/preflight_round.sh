@@ -25,33 +25,35 @@ relay_up() {
   timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8093' 2>/dev/null
 }
 
-# (a) relaunch dead chains -- the r3b chain owns the training endgame; the
-# polish chain interlocks behind it. Both scrub CPU platform overrides at
-# startup and wait out relay outages themselves.
-if chain_alive round3b_chain.py; then
-  echo "preflight: r3b chain alive"
-else
-  echo "preflight: relaunching r3b chain"
-  nohup python scripts/round3b_chain.py >> runs/chain_r4.log 2>&1 &
-  echo $! > /tmp/chain.pid
-fi
-if chain_alive polish_chain.py; then
-  echo "preflight: polish chain alive"
-else
-  echo "preflight: relaunching polish chain"
-  nohup python scripts/polish_chain.py >> runs/chain_polish.log 2>&1 &
-  echo $! > /tmp/polish.pid
-fi
+# (a) relaunch dead chains -- the full round-4 family, in interlock order:
+# r3b (endgame) -> levers -> polish -> study. Each scrubs CPU platform
+# overrides at startup and waits out relay outages itself.
+relaunch() { # $1 = script basename, $2 = log, $3 = pid file tag
+  if chain_alive "$1"; then
+    echo "preflight: $1 alive"
+  else
+    echo "preflight: relaunching $1"
+    nohup python "scripts/$1" >> "runs/$2" 2>&1 &
+    echo $! > "/tmp/$3.pid"
+  fi
+}
+relaunch round3b_chain.py chain_r4.log chain
+relaunch levers_chain.py chain_levers.log levers
+relaunch polish_chain.py chain_polish.log polish
+relaunch study_chain.py chain_study.log study
 
 # (b) stage the freshest bench. Only when the relay is up AND the staged
 # measurement is older than 6 h — a fresh stage means the boundary replay
 # is near-live even if the tunnel dies again.
 STALE=$(python - <<'EOF'
-import json, pathlib, time
+import calendar, json, pathlib, time
 p = pathlib.Path("BENCH_LOCAL.json")
 try:
     d = json.loads(p.read_text())
-    t = time.mktime(time.strptime(d["measured_at"], "%Y-%m-%dT%H:%M:%SZ"))
+    # measured_at is UTC (bench.py stamps with gmtime): parse with timegm,
+    # not mktime — mktime reads the struct as LOCAL time and skews the
+    # staleness gate by the host's UTC offset.
+    t = calendar.timegm(time.strptime(d["measured_at"], "%Y-%m-%dT%H:%M:%SZ"))
     print("fresh" if time.time() - t < 6 * 3600 else "stale")
 except Exception:
     print("stale")
@@ -60,7 +62,16 @@ EOF
 if relay_up && [ "$STALE" = "stale" ]; then
   echo "preflight: staging a fresh bench (chip reserved via runs/STOP)"
   touch runs/STOP
+  # Keep the reservation fresh for the whole bench (cold compiles can
+  # exceed the 30-min freshness window) and die with this script so a
+  # SIGKILL cannot orphan a flag-toucher that blocks training forever.
+  PARENT=$$
+  ( while kill -0 "$PARENT" 2>/dev/null; do touch runs/STOP; sleep 300; done ) &
+  KEEPALIVE=$!
+  trap 'kill "$KEEPALIVE" 2>/dev/null; rm -f runs/STOP' EXIT
   timeout 3600 python bench.py || echo "preflight: bench failed"
+  kill "$KEEPALIVE" 2>/dev/null
+  trap - EXIT
   rm -f runs/STOP
 else
   echo "preflight: bench stage skipped (relay_up=$(relay_up && echo yes || echo no), staged=$STALE)"

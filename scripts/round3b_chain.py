@@ -31,6 +31,36 @@ sys.path.insert(0, str(REPO / "scripts"))
 RESULTS = REPO / "TRAINING_RESULTS.json"
 
 
+def chains_alive(*script_names: str) -> bool:
+    """Exact-argv /proc scan for live chain scripts (never pattern-match).
+
+    Shared interlock for the chain family. Mirrors stop_training.matches's
+    round-3 fix: tolerate versioned interpreters and option flags
+    ("python3.12 -u scripts/levers_chain.py"), matching the first non-flag
+    argv entry — a weaker argv[1] check misses '-u' launches and lets two
+    chains run chip stages concurrently."""
+    import os
+
+    me = str(os.getpid())
+    for p in pathlib.Path("/proc").iterdir():
+        if not p.name.isdigit() or p.name == me:
+            continue
+        try:
+            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
+        except OSError:
+            continue
+        argv = [a.decode(errors="replace") for a in argv if a]
+        if len(argv) < 2:
+            continue
+        interp = pathlib.Path(argv[0]).name
+        if not interp.startswith("python"):
+            continue
+        script = next((a for a in argv[1:] if not a.startswith("-")), "")
+        if any(script.endswith(n) for n in script_names):
+            return True
+    return False
+
+
 def sh(*cmd, check=True, env=None):
     print("+", " ".join(map(str, cmd)), flush=True)
     return subprocess.run(list(map(str, cmd)), cwd=REPO, check=check, env=env)

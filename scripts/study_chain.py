@@ -35,20 +35,8 @@ STUDY = [(256, 64, 40, 10), (320, 48, 40, 10), (480, 24, 40, 10)]
 
 
 def other_chain_alive() -> bool:
-    me = str(os.getpid())
-    for p in pathlib.Path("/proc").iterdir():
-        if not p.name.isdigit() or p.name == me:
-            continue
-        try:
-            argv = p.joinpath("cmdline").read_bytes().split(b"\0")
-        except OSError:
-            continue
-        if len(argv) >= 2 and argv[0].startswith(b"python") and (
-                argv[1].endswith(b"round3b_chain.py")
-                or argv[1].endswith(b"levers_chain.py")
-                or argv[1].endswith(b"polish_chain.py")):
-            return True
-    return False
+    return chain.chains_alive("round3b_chain.py", "levers_chain.py",
+                              "polish_chain.py")
 
 
 def study_rows() -> list[dict]:
@@ -81,6 +69,15 @@ def run_study(imgsz: int, batch: int, epochs: int, close_last: int) -> None:
     chain.wait_run_complete(REPO / "runs" / run, epochs, launch)
 
     best = REPO / "runs" / run / "best.msgpack"
+    if not best.exists():
+        # A run that died before its first eval checkpoint must not kill
+        # the remaining study rows; record the failure and move on.
+        record_row({"run": run, "arch": "yolov8n-seg", "imgsz": imgsz,
+                    "epochs": epochs, "batch": batch,
+                    "error": "run produced no best.msgpack "
+                             "(died before the first eval checkpoint)"})
+        print(f"{run}: no best.msgpack; recorded failure row", flush=True)
+        return
     m = chain.full_eval("yolov8n-seg", imgsz, best)
     cpu = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
     hist = REPO / "runs" / run / "history.json"

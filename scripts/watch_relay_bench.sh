@@ -16,7 +16,11 @@ done
 echo "relay up at $(date -u +%FT%TZ); reserving chip"
 
 touch runs/STOP
-( while true; do sleep 300; touch runs/STOP; done ) &
+# The keepalive checks its parent each cycle: a SIGKILL of the watcher
+# (OOM killer) must not leave an orphan touching runs/STOP forever, which
+# would block every training chain's idle-wait permanently.
+PARENT=$$
+( while kill -0 "$PARENT" 2>/dev/null; do touch runs/STOP; sleep 300; done ) &
 KEEPALIVE=$!
 trap 'kill "$KEEPALIVE" 2>/dev/null; rm -f runs/STOP' EXIT
 

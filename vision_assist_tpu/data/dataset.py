@@ -63,12 +63,16 @@ class SegDataset:
         for part in split.split("+"):
             img_dir = root / part / "images"
             lbl_dir = root / part / "labels"
+            before = len(self.records)
             for img_path in (sorted(img_dir.glob("*.jpg"))
                              + sorted(img_dir.glob("*.png"))):
                 polys, classes = parse_label_file(
                     lbl_dir / (img_path.stem + ".txt"))
                 self.records.append(ImageRecord(img_path, polys, classes))
-            if not self.records:
+            # Per-part check: a missing/empty part after the first must not
+            # be silently ignored — 'train+test' claiming extra data while
+            # training on train only would falsify the run's provenance.
+            if len(self.records) == before:
                 raise FileNotFoundError(f"no images under {img_dir}")
 
         self._cache: list[np.ndarray] | None = None

@@ -73,6 +73,8 @@ def generate_cue_assets(out_dir: str | pathlib.Path = "assets/audio",
     callable ``(text) -> (audio, sr)`` plugs in an external TTS engine.
     """
     out = pathlib.Path(out_dir)
+    if speech_backend is None:  # the pre-round-4 documented default
+        speech_backend = "builtin"
     if speech_backend == "builtin":
         try:
             from vision_assist_tpu.io.speech import synthesize
