@@ -55,7 +55,17 @@ def chains_alive(*script_names: str) -> bool:
         interp = pathlib.Path(argv[0]).name
         if not interp.startswith("python"):
             continue
-        script = next((a for a in argv[1:] if not a.startswith("-")), "")
+        script = ""
+        for a in argv[1:]:
+            if a == "-c":  # command-string mode: code, not a script path
+                script = ""
+                break
+            if a.startswith("-"):
+                continue
+            script = a
+            break
+        if any(ch in script for ch in " ;\n"):
+            continue
         if any(script.endswith(n) for n in script_names):
             return True
     return False

@@ -41,7 +41,19 @@ def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
     # "python3.12 -u train_model.py" must be parked, not just stamped.
     if interp not in ("bash", "sh") and not interp.startswith("python"):
         return False
-    script = next((a for a in argv[1:] if not a.startswith("-")), "")
+    script = ""
+    for a in argv[1:]:
+        if a == "-c":
+            # Command-string mode: the next argv is CODE, not a script
+            # path — a -c wrapper that merely mentions these names (e.g.
+            # the orchestration session) must never be killed.
+            return False
+        if a.startswith("-"):
+            continue
+        script = a
+        break
+    if any(ch in script for ch in " ;\n"):
+        return False  # a command string, not a path
     # Exact basename equality, not endswith: an unrelated script with a
     # suffix-matching name (my_train_model.py) must not be killed (ADVICE r2).
     return os.path.basename(script) in targets

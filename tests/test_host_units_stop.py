@@ -39,3 +39,15 @@ def test_never_matches_shell_wrappers_or_mentions():
     assert not stop_training.matches(["tail", "-f", "runs/chain.log"], SUP)
     assert not stop_training.matches(["python"], TRAIN)
     assert not stop_training.matches([], TRAIN)
+
+
+def test_matches_versioned_interpreter_and_flags():
+    """ADVICE r3: a trainer launched as 'python3.12 -u train_model.py' must
+    be parked — versioned interpreters and option flags cannot hide it."""
+    assert stop_training.matches(
+        ["/usr/bin/python3.12", "-u", "scripts/train_model.py"], TRAIN)
+    assert stop_training.matches(
+        ["python3", "-u", "-B", "scripts/train_supervised.sh"], SUP)
+    # -c command-string mode is code, never a script path.
+    assert not stop_training.matches(
+        ["python3.12", "-c", "print('train_model.py')"], TRAIN)
