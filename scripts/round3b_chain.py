@@ -296,13 +296,16 @@ def launch_supervised(out: str, snap_name: str, args: list[str],
 V8N_ARGS = ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
             "--max-rss-gb", "100", "--wire-format", "i420",
             "--resume", "assets/weights/v8n_640_best.msgpack"]
-#  From scratch, NOT resumed: the committed y11n checkpoint was trained on
-#  the pre-fix v11 variant ("yolo11n-seg-legacy" — neck shortcut/c3k and
-#  attention-conv activations diverged from yolo11.yaml); its param tree
-#  does not load into the faithful arch this run trains.
+#  Initialised from the PORTED legacy checkpoint (scripts/port_legacy_y11n.py
+#  grafts every path+shape-matching leaf of the trained legacy tree into the
+#  faithful arch — verified 290/290 leaves land; the mismatched C3k2/attention
+#  semantics mean the ported weights compute a slightly different function,
+#  which the full 300-epoch cosine re-anneals). Self-contained lineage: the
+#  port's ancestor trained from scratch in this repo, no external weights.
 Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
              "--batch", "64", "--eval-every", "20", "--eval-images", "256",
-             "--max-rss-gb", "100", "--wire-format", "i420"]
+             "--max-rss-gb", "100", "--wire-format", "i420",
+             "--resume", "assets/weights/y11n_faithful_init.msgpack"]
 
 
 def main() -> None:
