@@ -202,3 +202,59 @@ class TestFusedFrameProgram:
                              transfer_format="i420")
         with pytest.raises(ValueError, match="even"):
             FrameProcessor(cfg)
+
+
+class TestDeviceP50ScanRunner:
+    """tools/diagnose_device_p50.py measures ONE scan over K frames; its
+    payloads must match per-frame device_fn calls (a wrapper bug discovered
+    on the chip costs an hour of relay compiles). Matching is semantic, not
+    bitwise: the scan body is a different XLA compilation, and bf16
+    reduction reassociation shifts best_conf by ~1 ULP, which can flip a
+    single threshold-sitting lattice cell — measured on CPU: <=1 int of 243
+    per frame. A wrapper bug (wrong frame indexing, broken cache carry)
+    would diverge massively; the bound stays tight."""
+
+    @pytest.mark.parametrize("engine", ["exact", "exact_device"])
+    def test_scan_payloads_match_per_frame(self, engine):
+        import sys
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+        import jax.numpy as jnp
+        from diagnose_device_p50 import make_scan_runner
+
+        from vision_assist_tpu.config import ModelConfig
+        from vision_assist_tpu.models.inference import Segmenter
+        from vision_assist_tpu.ops.yuv import bgr_to_i420_host
+        from vision_assist_tpu.pipeline.frame_program import make_frame_program
+
+        seg = Segmenter(ModelConfig(imgsz=64), example_hw=(320, 240))
+        cfg = PipelineConfig(frame_height=320, frame_width=240,
+                             transfer_format="i420")
+        cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=engine))
+        device_fn, _ = make_frame_program(cfg, seg)
+
+        rng = np.random.default_rng(0)
+        frames = np.stack([
+            np.where(rng.random((320, 240, 3)) > 0.5, 180, 30).astype(np.uint8)
+            for _ in range(3)])
+        planes = jnp.asarray(np.stack([bgr_to_i420_host(f) for f in frames]))
+
+        exact_device = engine == "exact_device"
+        run_k = make_scan_runner(device_fn, exact_device)
+        if exact_device:
+            from vision_assist_tpu.planning.device_astar import empty_cache
+            scanned, _ = run_k(seg.variables, planes, empty_cache())
+            cache = empty_cache()
+            singles = []
+            for i in range(3):
+                p, cache = device_fn(seg.variables, planes[i], cache)
+                singles.append(p)
+        else:
+            scanned = run_k(seg.variables, planes)
+            singles = [device_fn(seg.variables, planes[i]) for i in range(3)]
+        for i in range(3):
+            a = np.asarray(scanned[i])
+            b = np.asarray(singles[i])
+            n_diff = int((a != b).sum())
+            assert n_diff <= max(3, a.size // 50), (
+                f"frame {i}: {n_diff}/{a.size} payload ints differ — "
+                "beyond compilation-variance scale; wrapper bug")

@@ -34,6 +34,30 @@ K = 30          # frames per dispatch
 TRIALS = 12
 
 
+def make_scan_runner(device_fn, exact_device: bool):
+    """ONE jitted program scanning the fused frame step over K resident
+    frames (the measurement isolator; payload-equivalence to per-frame
+    calls is pinned by tests/test_frame_processor.py)."""
+    import jax
+
+    if exact_device:
+        @jax.jit
+        def run_k(variables, planes, cache):
+            def step(cache, plane):
+                payload, cache = device_fn(variables, plane, cache)
+                return cache, payload
+            cache, payloads = jax.lax.scan(step, cache, planes)
+            return payloads, cache
+    else:
+        @jax.jit
+        def run_k(variables, planes):
+            def step(_, plane):
+                return None, device_fn(variables, plane)
+            _, payloads = jax.lax.scan(step, None, planes)
+            return payloads
+    return run_k
+
+
 def measure_engine(engine: str, seg, frames_bgr: np.ndarray) -> dict:
     import jax
     import jax.numpy as jnp
@@ -51,24 +75,10 @@ def measure_engine(engine: str, seg, frames_bgr: np.ndarray) -> dict:
     planes = np.stack([bgr_to_i420_host(f) for f in frames_bgr])
     exact_device = engine == "exact_device"
 
+    run_k = make_scan_runner(device_fn, exact_device)
     if exact_device:
         from vision_assist_tpu.planning.device_astar import empty_cache
         cache0 = empty_cache()
-
-        @jax.jit
-        def run_k(variables, planes, cache):
-            def step(cache, plane):
-                payload, cache = device_fn(variables, plane, cache)
-                return cache, payload
-            cache, payloads = jax.lax.scan(step, cache, planes)
-            return payloads, cache
-    else:
-        @jax.jit
-        def run_k(variables, planes):
-            def step(_, plane):
-                return None, device_fn(variables, plane)
-            _, payloads = jax.lax.scan(step, None, planes)
-            return payloads
 
     planes_dev = jax.device_put(jnp.asarray(planes))
     args = (seg.variables, planes_dev) + (
