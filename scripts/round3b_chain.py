@@ -34,12 +34,14 @@ RESULTS = REPO / "TRAINING_RESULTS.json"
 def chains_alive(*script_names: str) -> bool:
     """Exact-argv /proc scan for live chain scripts (never pattern-match).
 
-    Shared interlock for the chain family. Mirrors stop_training.matches's
-    round-3 fix: tolerate versioned interpreters and option flags
-    ("python3.12 -u scripts/levers_chain.py"), matching the first non-flag
-    argv entry — a weaker argv[1] check misses '-u' launches and lets two
-    chains run chip stages concurrently."""
+    Shared interlock for the chain family. Delegates argv parsing to
+    stop_training.script_of so flag handling (versioned interpreters, -u,
+    argument-taking flags like -W/-X, -m module launches, the -c hard
+    disqualifier) stays in ONE place — a parsing gap here would let two
+    chains run chip stages concurrently (ADVICE r4)."""
     import os
+
+    import stop_training
 
     me = str(os.getpid())
     for p in pathlib.Path("/proc").iterdir():
@@ -50,21 +52,8 @@ def chains_alive(*script_names: str) -> bool:
         except OSError:
             continue
         argv = [a.decode(errors="replace") for a in argv if a]
-        if len(argv) < 2:
-            continue
-        interp = pathlib.Path(argv[0]).name
-        if not interp.startswith("python"):
-            continue
-        script = ""
-        for a in argv[1:]:
-            if a == "-c":  # command-string mode: code, not a script path
-                script = ""
-                break
-            if a.startswith("-"):
-                continue
-            script = a
-            break
-        if any(ch in script for ch in " ;\n"):
+        script = stop_training.script_of(argv)
+        if not script or not pathlib.Path(argv[0]).name.startswith("python"):
             continue
         if any(script.endswith(n) for n in script_names):
             return True
@@ -210,9 +199,26 @@ def promote(run_dir: pathlib.Path, arch: str, imgsz: int, asset: str,
     hist = run_dir / "history.json"
     epochs = (json.loads(hist.read_text())[-1]["epoch"]
               if hist.exists() else None)
+    # Recipe provenance (ADVICE r4): the training split is structural
+    # metadata, not a free-text note — an extra-data run ("train+test")
+    # promoted over a train-only one changes what the headline mAP is
+    # comparable to (the reference's baselines are train-only).
+    args_snap = run_dir / "args.json"
+    train_split = "train"  # every pre-snapshot run used the default split
+    if args_snap.exists():
+        train_split = json.loads(args_snap.read_text()).get(
+            "train_split", "train")
+    metrics = dict(metrics, train_split=train_split)
+    if train_split != "train":
+        metrics["protocol_note"] = (
+            f"trained on '{train_split}' (extra labelled data); the "
+            "reference baselines (e.g. 0.8588 mask mAP50, train11) used "
+            "the train split only — mAP comparison carries that caveat. "
+            "valid stays eval-only either way.")
     run_record = {
         "note": note,
         "epochs_completed": epochs,
+        "train_split": train_split,
         "full_val": {str(c.name): m for c, m in evals},
         "promoted": bool(metrics["map50_mask"] > prev),
     }

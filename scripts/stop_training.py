@@ -32,31 +32,63 @@ CHIP_OWNERS = ("queue_y11n.sh", "train_supervised.sh", "babysit_trainer.sh",
                "train_model.py")
 
 
-def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
+# Interpreter flags whose ARGUMENT is the next argv element. Without
+# skipping these, "python -W ignore scripts/train_model.py" would pick
+# "ignore" as the script and the trainer would evade parking (ADVICE r4).
+_PY_ARG_FLAGS = ("-W", "-X", "--check-hash-based-pycs")
+_SH_ARG_FLAGS = ("-o", "+o", "-O", "+O")
+
+
+def script_of(argv: list[str]) -> str | None:
+    """The script a direct interpreter launch will run, or None.
+
+    None for command-string launches (-c: the next argv is CODE and may
+    mention any script name — e.g. the orchestration session driving this
+    repo — so it must never match) and for non-interpreter argv[0]s.
+    `python -m pkg.mod` launches return "<mod>.py" so basename matching
+    against *.py targets covers module-mode trainers too (ADVICE r4).
+    """
     if len(argv) < 2:
-        return False
+        return None
     interp = os.path.basename(argv[0])
     # Versioned interpreters (python3.12) and option flags (-u) count too —
     # mirrors chipquiet.py's detection (ADVICE r3): a trainer launched as
     # "python3.12 -u train_model.py" must be parked, not just stamped.
-    if interp not in ("bash", "sh") and not interp.startswith("python"):
-        return False
-    script = ""
-    for a in argv[1:]:
+    is_py = interp.startswith("python")
+    if not is_py and interp not in ("bash", "sh"):
+        return None
+    arg_flags = _PY_ARG_FLAGS if is_py else _SH_ARG_FLAGS
+    i = 1
+    while i < len(argv):
+        a = argv[i]
         if a == "-c":
-            # Command-string mode: the next argv is CODE, not a script
-            # path — a -c wrapper that merely mentions these names (e.g.
-            # the orchestration session) must never be killed.
-            return False
-        if a.startswith("-"):
+            return None
+        if is_py and a == "-m":
+            mod = argv[i + 1] if i + 1 < len(argv) else ""
+            if not mod or any(ch in mod for ch in " ;\n"):
+                return None
+            return mod.split(".")[-1] + ".py"
+        if a == "--":
+            i += 1
+            break
+        if a in arg_flags:
+            i += 2
             continue
-        script = a
+        if a.startswith("-") or (not is_py and a.startswith("+")):
+            i += 1
+            continue
         break
+    script = argv[i] if i < len(argv) else ""
     if any(ch in script for ch in " ;\n"):
-        return False  # a command string, not a path
+        return None  # a command string, not a path
+    return script or None
+
+
+def matches(argv: list[str], targets: tuple[str, ...]) -> bool:
+    script = script_of(argv)
     # Exact basename equality, not endswith: an unrelated script with a
     # suffix-matching name (my_train_model.py) must not be killed (ADVICE r2).
-    return os.path.basename(script) in targets
+    return script is not None and os.path.basename(script) in targets
 
 
 def scan(targets: tuple[str, ...]) -> list[int]:

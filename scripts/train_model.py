@@ -129,6 +129,15 @@ def main() -> int:
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     print("device:", jax.devices()[0], flush=True)
+    # Machine-readable recipe snapshot (the reference ships args.yaml per
+    # run — model/runs/segment/train*/args.yaml). Downstream promotion
+    # reads train_split from here so recipe provenance (extra-data runs
+    # vs the reference's train-only protocol, ADVICE r4) is structural,
+    # not a free-text note.
+    if jax.process_index() == 0:
+        (out / "args.json").write_text(json.dumps(
+            {k: str(v) if isinstance(v, pathlib.Path) else v
+             for k, v in vars(args).items()}, indent=1))
     # Host-side artifacts (eval, history.json, checkpoints, the state
     # rotation) are rank-0 work: concurrent writers on a shared cwd race
     # the exists()/rename rotation, and evals would run pcount times.

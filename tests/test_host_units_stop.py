@@ -51,3 +51,44 @@ def test_matches_versioned_interpreter_and_flags():
     # -c command-string mode is code, never a script path.
     assert not stop_training.matches(
         ["python3.12", "-c", "print('train_model.py')"], TRAIN)
+
+
+def test_argument_taking_flags_are_skipped():
+    """ADVICE r4: -W/-X take a SEPARATE argument; the old first-non-flag
+    heuristic picked 'ignore' as the script and the trainer evaded parking."""
+    assert stop_training.matches(
+        ["python", "-W", "ignore", "scripts/train_model.py"], TRAIN)
+    assert stop_training.matches(
+        ["python3.12", "-X", "dev", "-W", "error", "scripts/train_model.py"],
+        TRAIN)
+    # Attached forms still work via the generic dash skip.
+    assert stop_training.matches(
+        ["python", "-Wignore", "scripts/train_model.py"], TRAIN)
+    # The flag's argument must never be mistaken for a script even when it
+    # IS a target name (perverse but possible: -W train_model.py).
+    assert not stop_training.matches(
+        ["python", "-W", "train_model.py"], TRAIN)
+
+
+def test_module_launches_match():
+    """ADVICE r4: 'python -m scripts.train_model' must be parked too."""
+    assert stop_training.matches(
+        ["python", "-m", "scripts.train_model", "--out", "runs/x"], TRAIN)
+    assert stop_training.matches(["python3.12", "-u", "-m", "train_model"],
+                                 TRAIN)
+    assert not stop_training.matches(["python", "-m", "pytest", "tests"],
+                                     TRAIN)
+    assert not stop_training.matches(["python", "-m"], TRAIN)
+    # bash -m is the job-control flag (no argument): the script after it
+    # must still match, and never be treated as a module name.
+    assert stop_training.matches(
+        ["bash", "-m", "scripts/train_supervised.sh"], SUP)
+
+
+def test_double_dash_and_bash_option_args():
+    assert stop_training.matches(
+        ["python", "--", "scripts/train_model.py"], TRAIN)
+    assert stop_training.matches(
+        ["bash", "-o", "pipefail", "scripts/train_supervised.sh"], SUP)
+    assert not stop_training.matches(
+        ["bash", "-o", "train_supervised.sh"], SUP)

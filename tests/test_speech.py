@@ -150,4 +150,11 @@ class TestShippedAssets:
             pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
         audio, _ = synthesize(name.replace("_", " "))
         expect = np.clip(audio * 32767, -32768, 32767).astype(np.int16)
-        np.testing.assert_array_equal(pcm, expect)
+        # Same length/rate, near-identical samples. NOT bit-exact (ADVICE
+        # r4): scipy/numpy version drift (lfilter accumulation order,
+        # window generation, rounding) can flip low bits; a dependency
+        # bump must not read as a product regression. 2 LSB on int16 is
+        # -84 dBFS — inaudible and far below any synthesis change.
+        assert pcm.shape == expect.shape
+        max_diff = np.abs(pcm.astype(np.int32) - expect.astype(np.int32)).max()
+        assert max_diff <= 2, f"{name}: shipped WAV drifted {max_diff} LSB"
