@@ -153,13 +153,17 @@ def ensure_relay_up(deadline_s: float = 1200.0) -> bool:
     Without this, a dead tunnel makes the first jax backend touch hang
     forever and the scoreboard run records an opaque timeout. (Observed
     2026-08-17: the tunnel process died mid-round; connection refused on
-    every relay port.)"""
+    every relay port.) RELAY_PORT overrides the probed port so the relay
+    watcher's rehearsal mode can point the whole banking path at a mock
+    listener (VERDICT r4 #6)."""
+    import os
     import socket
 
+    port = int(os.environ.get("RELAY_PORT", "8093"))
     t0 = time.time()
     while time.time() - t0 < deadline_s:
         try:
-            with socket.create_connection(("127.0.0.1", 8093), timeout=5):
+            with socket.create_connection(("127.0.0.1", port), timeout=5):
                 return True
         except OSError:
             print("TPU relay tunnel down; waiting "
@@ -359,7 +363,11 @@ def main() -> None:
             capture_output=True, text=True, timeout=10).stdout.strip() or None
     except (OSError, subprocess.TimeoutExpired):
         out["measured_git_sha"] = None
-    if quiet.get("chip_quiet") and fps > 0:
+    # Stage ONLY real-chip measurements: a CPU-backend run (rehearsal, or
+    # someone exporting JAX_PLATFORMS=cpu) must never overwrite the staged
+    # chip record — the outage-replay path would then replay a CPU number
+    # as the chip scoreboard.
+    if quiet.get("chip_quiet") and fps > 0 and device.platform != "cpu":
         try:
             (REPO / "BENCH_LOCAL.json").write_text(json.dumps(out) + "\n")
         except OSError:

@@ -3,17 +3,54 @@
 # (VERDICT r3 #1/#3/#4: capture early and often, not only at the round
 # boundary). Order: scoreboard bench first, then the serving-detection
 # count on the real device, then the device-time p50 profile (long fresh
-# compiles over the relay, so it goes last). Reserves the chip via the
-# fresh runs/STOP convention the training chains respect (<30 min =
-# reserved), keeps the flag fresh throughout, then releases it so the
-# chains relaunch training.
+# compiles over the relay, so it goes last), then COMMIT the banked
+# artifacts (VERDICT r4 #6: a crash after banking must not lose them).
+# Reserves the chip via the fresh runs/STOP convention the training
+# chains respect (<30 min = reserved), keeps the flag fresh throughout,
+# then releases it so the chains relaunch training.
+#
+# Rehearsal mode (VERDICT r4 #6 — "its first real firing must not be its
+# first execution"): REHEARSAL=1 RELAY_PORT=<mock port> runs the SAME
+# banking path end-to-end against a mock TCP listener with the CPU
+# backend, short budgets, and rehearsal-suffixed artifact paths so no
+# real-chip artifact can be clobbered.
 set -u
 cd "$(dirname "$0")/.."
 
-while ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8093' 2>/dev/null; do
-  sleep 60
+# Single-instance lock (per mode): repeated nohup launches across
+# sessions left several watchers polling concurrently; on relay return
+# they would all fire and race the bench/STOP lifecycle. First instance
+# wins. The rehearsal gets its own lock so it can run while the real
+# watcher polls the real port.
+mkdir -p runs
+if [ "${REHEARSAL:-0}" = "1" ]; then LOCK=runs/watcher_rehearsal.lock; else LOCK=runs/watcher.lock; fi
+exec 9>"$LOCK"
+if ! flock -n 9; then
+  echo "another watcher holds $LOCK; exiting"
+  exit 0
+fi
+
+REHEARSAL="${REHEARSAL:-0}"
+RELAY_PORT="${RELAY_PORT:-8093}"
+if [ "$REHEARSAL" = "1" ]; then
+  TAG="rehearsal_cpu"
+  P50_OUT="diagnostics/device_p50_rehearsal.json"
+  BENCH_T=1800; DET_T=900; P50_T=1800
+  # CPU backend; skip relay registration. RELAY_PORT points bench at the
+  # mock listener so its relay gate opens and the full measure path runs.
+  export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+else
+  TAG="chip"
+  P50_OUT="diagnostics/device_p50.json"
+  BENCH_T=7200; DET_T=3600; P50_T=10800
+fi
+export RELAY_PORT
+mkdir -p runs diagnostics
+
+while ! timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/$RELAY_PORT" 2>/dev/null; do
+  sleep "${POLL_S:-60}"
 done
-echo "relay up at $(date -u +%FT%TZ); reserving chip"
+echo "relay up (port $RELAY_PORT) at $(date -u +%FT%TZ); reserving chip"
 
 touch runs/STOP
 # The keepalive checks its parent each cycle: a SIGKILL of the watcher
@@ -25,16 +62,28 @@ KEEPALIVE=$!
 trap 'kill "$KEEPALIVE" 2>/dev/null; rm -f runs/STOP' EXIT
 
 echo "=== bench ==="
-timeout 7200 python bench.py > /tmp/bench_r4_first.json 2> /tmp/bench_r4_first.err
-echo "bench exit=$?: $(tail -c 2000 /tmp/bench_r4_first.json)"
+timeout "$BENCH_T" python bench.py \
+  > "runs/watcher_bench_${TAG}.json" 2> "runs/watcher_bench_${TAG}.err"
+echo "bench exit=$?: $(tail -c 2000 "runs/watcher_bench_${TAG}.json")"
 
-echo "=== serving detections (chip) ==="
-timeout 3600 python tools/diagnose_detections.py chip \
-  > /tmp/detections_r4.log 2>&1
-echo "detections exit=$?: $(tail -n 1 /tmp/detections_r4.log)"
+echo "=== serving detections ($TAG) ==="
+timeout "$DET_T" python tools/diagnose_detections.py "$TAG" \
+  > "runs/watcher_detections_${TAG}.log" 2>&1
+echo "detections exit=$?: $(tail -n 1 "runs/watcher_detections_${TAG}.log")"
 
 echo "=== device p50 ==="
-timeout 10800 python tools/diagnose_device_p50.py \
-  > /tmp/device_p50_r4.log 2>&1
-echo "device_p50 exit=$?: $(tail -n 1 /tmp/device_p50_r4.log)"
+timeout "$P50_T" python tools/diagnose_device_p50.py "$P50_OUT" \
+  > "runs/watcher_device_p50_${TAG}.log" 2>&1
+echo "device_p50 exit=$?: $(tail -n 1 "runs/watcher_device_p50_${TAG}.log")"
+
+echo "=== commit banked artifacts ==="
+git add BENCH_LOCAL.json "$P50_OUT" "diagnostics/serving_detections_${TAG}.json" \
+        "runs/watcher_bench_${TAG}.json" "runs/watcher_detections_${TAG}.log" \
+        "runs/watcher_device_p50_${TAG}.log" 2>/dev/null
+if [ "$REHEARSAL" = "1" ]; then
+  MSG="Watcher rehearsal: banked CPU-backend bench + detections + device_p50"
+else
+  MSG="Bank chip artifacts on relay return: bench + detections + device_p50"
+fi
+git commit -m "$MSG" || echo "commit failed or nothing to commit"
 echo "watcher done at $(date -u +%FT%TZ)"

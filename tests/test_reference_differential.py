@@ -252,3 +252,22 @@ def test_sections_and_corners_match(mine_and_theirs):
 def test_final_answer_matches(mine_and_theirs):
     for name, (mine, theirs) in mine_and_theirs.items():
         assert mine.final_answer == theirs.answer, name
+
+
+def test_empty_paths_answer_matches_reference(ref):
+    """VERDICT r4 #7: the no-detection case pinned against the ACTUAL
+    reference analyser — an empty path list must map to the same final
+    answer on both sides (PathAnalyser.py:291-292 returns
+    FinalAnswer.CONTINUE_FORWARD when no instructions survive)."""
+    from vision_assist_tpu.config import AnalyserConfig
+    from vision_assist_tpu.semantics.analyser import InstructionEngine
+
+    ref.pa.PathAnalyser._instance = None
+    theirs = ref.pa.PathAnalyser()
+    theirs.previous_instructions = {}
+    ref_answer = theirs(720, 1280, [])
+    ref_value = getattr(ref_answer, "value", ref_answer)
+
+    mine = InstructionEngine(AnalyserConfig())
+    my_answer = mine(720, 1280, [], now_ms=0)
+    assert my_answer == ref_value

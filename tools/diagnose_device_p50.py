@@ -169,7 +169,10 @@ def main() -> None:
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **quiet,
     }
-    path = REPO / "diagnostics" / "device_p50.json"
+    # Optional argv override so the watcher's CPU rehearsal cannot clobber
+    # a real-chip diagnostics/device_p50.json (VERDICT r4 #6).
+    path = (pathlib.Path(sys.argv[1]) if len(sys.argv) > 1
+            else REPO / "diagnostics" / "device_p50.json")
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 

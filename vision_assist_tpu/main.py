@@ -189,9 +189,16 @@ def run_video(args) -> int:
                 timer.write(args.timing_data_path)
             processed += 1
             latencies.append(dt)
-            cue = f" [cue: {cues[res.final_answer]}]" if cues else ""
-            print(f"frame {frame_count}: {res.final_answer} "
-                  f"({dt * 1000:.1f} ms){cue}")
+            # Silence on no-detection frames: the reference emits no
+            # instruction at all when nothing was detected (main.py:125
+            # prints an empty list; nothing is spoken).
+            if res.n_detections == 0:
+                print(f"frame {frame_count}: no detections "
+                      f"({dt * 1000:.1f} ms)")
+            else:
+                cue = f" [cue: {cues[res.final_answer]}]" if cues else ""
+                print(f"frame {frame_count}: {res.final_answer} "
+                      f"({dt * 1000:.1f} ms){cue}")
             if args.debug and res.overlay is not None:
                 import cv2
                 cv2.imwrite(str(out_dir / f"frame_{processed:04d}.png"),
@@ -233,6 +240,9 @@ def _run_video_pipelined(args, cam, fp, cues, out_dir) -> int:
         nonlocal processed
         for res in results:
             processed += 1
+            if res.n_detections == 0:  # reference: silent on empty frames
+                print(f"answer {processed}: no detections")
+                continue
             cue = f" [cue: {cues[res.final_answer]}]" if cues else ""
             print(f"answer {processed}: {res.final_answer}{cue}")
             if args.debug and res.overlay is not None:

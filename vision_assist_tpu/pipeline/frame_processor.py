@@ -139,6 +139,12 @@ class FrameProcessor:
                     saturation_threshold=cfg.penalty.saturation_threshold,
                     dominance_gain=cfg.penalty.dominance_gain)
 
+    def _empty_guidance(self, payload):
+        """The no-detection short-circuit's (paths, peaks, penalty) triple:
+        nothing was detected, so no lattice exists and no cost field was
+        ever computed (reference FrameProcessor.py:327-332)."""
+        return [], [], np.zeros(payload.walkable.shape, np.float64)
+
     def _paths_from_arrays(self, walkable: np.ndarray, artificial: np.ndarray,
                            peaks, penalty_f32, paths_batch, exact_engine=None
                            ) -> tuple[list[AnalysedPath], list[Peak], np.ndarray]:
@@ -299,17 +305,32 @@ class FrameProcessor:
         if self.cfg.blur.enabled and \
                 payload.blur_var < self.cfg.blur.laplacian_var_threshold:
             return None
-        paths, peaks, penalty = self._paths_from_arrays(
-            walkable=payload.walkable, artificial=payload.artificial,
-            peaks=payload.peaks, penalty_f32=payload.penalty,
-            paths_batch=payload.paths)
+        if payload.n_detections == 0:
+            # Reference parity (FrameProcessor.py:67-69 + 327-332): with no
+            # surviving detections the grid list stays EMPTY — artificial
+            # cells are only planted inside the per-mask loop — so the live
+            # path yields no paths and no guidance. The fused device program
+            # runs fixed-shape and still plants artificial cells; without
+            # this gate those cells fabricate a 2-cell path and the driver
+            # would tell the user to move on a frame where the model saw
+            # nothing. (The saved-grid REPLAY path keeps its artificial
+            # cells — the reference's replay lattices bake them in.)
+            paths, peaks, penalty = self._empty_guidance(payload)
+        else:
+            paths, peaks, penalty = self._paths_from_arrays(
+                walkable=payload.walkable, artificial=payload.artificial,
+                peaks=payload.peaks, penalty_f32=payload.penalty,
+                paths_batch=payload.paths)
         answer = self.analyser(self.cfg.frame_height, self.cfg.frame_width,
                                paths, now_ms)
+        empty = payload.n_detections == 0
+        zeros = (np.zeros_like(payload.walkable, dtype=bool)
+                 if empty else None)
         result = FrameResult(
             final_answer=answer, paths=paths, peaks=peaks,
             occupancy=payload.occupancy,
-            walkable=payload.walkable,
-            artificial=payload.artificial,
+            walkable=zeros if empty else payload.walkable,
+            artificial=zeros if empty else payload.artificial,
             penalty=penalty,
             n_detections=payload.n_detections,
             best_conf=payload.best_conf,

@@ -192,6 +192,11 @@ class MultiStreamProcessor:
         def paths_for(s):
             engine = self._exact_engines[s] if self._exact_engines else None
             p = payloads[s]
+            if p.n_detections == 0:
+                # No-detection gate, same as FrameProcessor.retire_frame:
+                # the reference plants artificial cells only per detected
+                # mask, so an empty stream frame yields no paths.
+                return self._fp._empty_guidance(p)
             return self._fp._paths_from_arrays(
                 walkable=p.walkable, artificial=p.artificial, peaks=p.peaks,
                 penalty_f32=p.penalty, paths_batch=p.paths,
@@ -209,10 +214,14 @@ class MultiStreamProcessor:
             paths, peaks, penalty = per_stream[s]
             answer = self.analysers[s](
                 self.cfg.frame_height, self.cfg.frame_width, paths, now[s])
+            empty = p.n_detections == 0
+            zeros = np.zeros_like(p.walkable, dtype=bool) if empty else None
             results.append(FrameResult(
                 final_answer=answer, paths=paths, peaks=peaks,
-                occupancy=p.occupancy, walkable=p.walkable,
-                artificial=p.artificial, penalty=penalty,
+                occupancy=p.occupancy,
+                walkable=zeros if empty else p.walkable,
+                artificial=zeros if empty else p.artificial,
+                penalty=penalty,
                 n_detections=p.n_detections, best_conf=p.best_conf,
             ))
         return results
