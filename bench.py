@@ -273,7 +273,12 @@ def main() -> None:
                     grid_size=cfg.grid.grid_size)
     fp = FrameProcessor(cfg, segmenter=seg)
 
-    n_frames = 16
+    # 30 DISTINCT val photos: the latency loop samples each exactly once,
+    # so `frames_with_detections` counts unique real frames and is directly
+    # comparable with tools/diagnose_detections.py (which uses the same 30).
+    # Until round 5 this was 16 cycled frames — the banked chip 17/30 vs
+    # the tool's 23/30 was a sampling artifact, not (only) model drift.
+    n_frames = 30
     frames = load_frames(n_frames, (frame_h, frame_w))
 
     # warmup / compile

@@ -35,20 +35,25 @@ RELAY_PORT="${RELAY_PORT:-8093}"
 if [ "$REHEARSAL" = "1" ]; then
   TAG="rehearsal_cpu"
   P50_OUT="diagnostics/device_p50_rehearsal.json"
-  BENCH_T=1800; DET_T=900; P50_T=1800
+  WIRE_OUT="diagnostics/wire_ceiling_rehearsal.json"
+  BENCH_T=1800; DET_T=900; P50_T=1800; WIRE_T=600
   # CPU backend; skip relay registration. RELAY_PORT points bench at the
   # mock listener so its relay gate opens and the full measure path runs.
   export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 else
   TAG="chip"
   P50_OUT="diagnostics/device_p50.json"
-  BENCH_T=7200; DET_T=3600; P50_T=10800
+  WIRE_OUT="diagnostics/wire_ceiling.json"
+  BENCH_T=7200; DET_T=3600; P50_T=10800; WIRE_T=1800
 fi
 export RELAY_PORT
 mkdir -p runs diagnostics
 
-while ! timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/$RELAY_PORT" 2>/dev/null; do
-  sleep "${POLL_S:-60}"
+# Children close the lock fd (9>&-): a killed watcher must release the
+# flock immediately, not when its orphaned sleep/python children exit
+# (observed: an orphan `sleep 60` held the lock past its parent's death).
+while ! timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/$RELAY_PORT" 2>/dev/null 9>&-; do
+  sleep "${POLL_S:-60}" 9>&-
 done
 echo "relay up (port $RELAY_PORT) at $(date -u +%FT%TZ); reserving chip"
 
@@ -57,33 +62,41 @@ touch runs/STOP
 # (OOM killer) must not leave an orphan touching runs/STOP forever, which
 # would block every training chain's idle-wait permanently.
 PARENT=$$
-( while kill -0 "$PARENT" 2>/dev/null; do touch runs/STOP; sleep 300; done ) &
+( while kill -0 "$PARENT" 2>/dev/null; do touch runs/STOP; sleep 300; done ) 9>&- &
 KEEPALIVE=$!
 trap 'kill "$KEEPALIVE" 2>/dev/null; rm -f runs/STOP' EXIT
 
 echo "=== bench ==="
-timeout "$BENCH_T" python bench.py \
+timeout "$BENCH_T" python bench.py 9>&- \
   > "runs/watcher_bench_${TAG}.json" 2> "runs/watcher_bench_${TAG}.err"
 echo "bench exit=$?: $(tail -c 2000 "runs/watcher_bench_${TAG}.json")"
 
 echo "=== serving detections ($TAG) ==="
-timeout "$DET_T" python tools/diagnose_detections.py "$TAG" \
+timeout "$DET_T" python tools/diagnose_detections.py "$TAG" 9>&- \
   > "runs/watcher_detections_${TAG}.log" 2>&1
 echo "detections exit=$?: $(tail -n 1 "runs/watcher_detections_${TAG}.log")"
 
 echo "=== device p50 ==="
-timeout "$P50_T" python tools/diagnose_device_p50.py "$P50_OUT" \
+timeout "$P50_T" python tools/diagnose_device_p50.py "$P50_OUT" 9>&- \
   > "runs/watcher_device_p50_${TAG}.log" 2>&1
 echo "device_p50 exit=$?: $(tail -n 1 "runs/watcher_device_p50_${TAG}.log")"
 
+echo "=== wire ceiling ==="
+timeout "$WIRE_T" python tools/diagnose_wire.py "$WIRE_OUT" 9>&- \
+  > "runs/watcher_wire_${TAG}.log" 2>&1
+echo "wire exit=$?: $(tail -n 1 "runs/watcher_wire_${TAG}.log")"
+
 echo "=== commit banked artifacts ==="
-git add BENCH_LOCAL.json "$P50_OUT" "diagnostics/serving_detections_${TAG}.json" \
-        "runs/watcher_bench_${TAG}.json" "runs/watcher_detections_${TAG}.log" \
-        "runs/watcher_device_p50_${TAG}.log" 2>/dev/null
+git add BENCH_LOCAL.json "$P50_OUT" "$WIRE_OUT" \
+        "diagnostics/serving_detections_${TAG}.json" 2>/dev/null
+# runs/ is gitignored — the step logs are round evidence, force-add them.
+git add -f "runs/watcher_bench_${TAG}.json" "runs/watcher_detections_${TAG}.log" \
+        "runs/watcher_device_p50_${TAG}.log" "runs/watcher_wire_${TAG}.log" \
+        2>/dev/null
 if [ "$REHEARSAL" = "1" ]; then
-  MSG="Watcher rehearsal: banked CPU-backend bench + detections + device_p50"
+  MSG="Watcher rehearsal: banked CPU-backend bench + detections + device_p50 + wire"
 else
-  MSG="Bank chip artifacts on relay return: bench + detections + device_p50"
+  MSG="Bank chip artifacts on relay return: bench + detections + device_p50 + wire"
 fi
 git commit -m "$MSG" || echo "commit failed or nothing to commit"
 echo "watcher done at $(date -u +%FT%TZ)"

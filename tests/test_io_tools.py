@@ -157,3 +157,24 @@ class TestVisualiser:
         assert penalty_colour(0.0) == (0, 255, 15)
         assert penalty_colour(1.0) == (0, 0, 255)
         assert penalty_colour(0.48) == (0, 163, 249)  # nearest stop 0.5
+
+
+class TestWireDiagnostic:
+    """tools/diagnose_wire.py::measure — on a local backend there is no
+    relay wire, so fresh-vs-resident consumption must land in the
+    below-noise branch (wire fields None) while the staging rate and the
+    dispatch floor stay populated. The chip branch is exercised by the
+    relay watcher (diagnostics/wire_ceiling.json)."""
+
+    def test_measure_local_backend_reports_no_wire(self):
+        sys.path.insert(0, str(REPO / "tools"))
+        from diagnose_wire import measure
+
+        m = measure((2, 96, 64), trials=4)
+        assert m["batch_mb"] == round(2 * 96 * 64 / 1e6, 3)
+        assert m["trials"] == 4
+        assert m["staging_mb_per_s"] > 0
+        assert m["resident_floor_ms"] >= 0
+        # local device_put is a memcpy: no measurable wire
+        assert m["wire_ms_per_batch"] is None
+        assert m["wire_mb_per_s"] is None

@@ -1,21 +1,32 @@
 #!/usr/bin/env python
-"""The relay's REAL wire model (supersedes diagnose_h2d's interpretation).
+"""Pin the host->device wire ceiling that bounds end-to-end serving.
 
-Round-3b microbenchmarking showed `device_put` "completion" is relay-client
-staging: the bytes cross the wire when an *execution consumes* the buffer,
-serial with the execute, so the serving question is "ms per consumed
-upload", not "device_put latency". This tool measures, on a quiet chip:
+VERDICT r4 weak #2: batched-8 serving (86.8 FPS) is only ~7% above
+single-stream (81.25 FPS) while the chip itself has ~6x headroom
+(device-resident replay ~1.8-2.1 ms/frame). The round-3b wire model says
+why: on this box the relay client "completes" `device_put` by staging
+locally; the bytes cross the wire when an execute consumes the buffer, at
+a few tens of MB/s and SERIAL with execution. If that model is right, the
+end-to-end FPS of every fresh-frame serving mode is just
 
-  1. fused frame program drained-pipeline rate with (a) device-resident
-     input, (b) fresh BGR upload per frame, (c) fresh I420 upload per frame
-     (the serving transfer format, ops/yuv.py);
-  2. the lone blocking payload fetch stall vs copy_to_host_async-at-submit
-     (what FrameProcessor.submit_frame does);
-  3. sync-latency "hurry" probe: does blocking on a trivial execute after
-     the submit deliver the payload earlier than blocking on the payload
-     fetch itself (relay flush piggyback)?
+    wire_MB_per_s / bytes_per_frame
 
-Writes diagnostics/wire_model.json.
+and batching cannot lift it (it only amortises dispatch, which is already
+pipelined away). This tool measures the wire rate directly and checks the
+prediction against the staged bench numbers, so the "batching barely
+helps" observation becomes a quantified platform bound rather than an
+unexplained weak spot.
+
+Method: K distinct uint8 buffers of the serving batch shape are
+device_put (staging) and then consumed by a trivial jitted reduction
+(sum -> scalar: ~zero FLOPs, full buffer must arrive). The same reduction
+on a device-RESIDENT buffer measures the dispatch+execute floor; the
+difference per fresh buffer is pure wire time. Buffers are distinct so no
+relay-side dedup/cache can elide the transfer.
+
+Writes diagnostics/wire_ceiling.json (device-stamped; run it on the real
+chip the moment the relay is back — CPU runs are marked and predict
+nothing about the relay wire).
 """
 
 from __future__ import annotations
@@ -31,92 +42,124 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def drained_rate(submit, n=40):
-    t0 = time.perf_counter()
-    hs = [submit(i) for i in range(n)]
+def measure(batch_shape: tuple[int, ...], trials: int = 12) -> dict:
     import jax
-    jax.block_until_ready(hs[-1])
-    return (time.perf_counter() - t0) / n * 1e3
+    import jax.numpy as jnp
+
+    consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+
+    rng = np.random.RandomState(0)
+    bufs = [rng.randint(0, 256, batch_shape, np.uint8)
+            for _ in range(trials)]
+    nbytes = bufs[0].nbytes
+
+    # Compile + one warm transfer (not timed).
+    jax.block_until_ready(consume(jax.device_put(bufs[0])))
+
+    # Floor: dispatch + execute on a buffer already resident on-device.
+    resident = jax.device_put(bufs[0])
+    jax.block_until_ready(consume(resident))
+    floor = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(consume(resident))
+        floor.append(time.perf_counter() - t0)
+    floor_ms = float(np.median(floor) * 1e3)
+
+    # Staging rate: what device_put() "completion" claims (relay client
+    # buffering locally — NOT the wire; kept to document the distinction).
+    t0 = time.perf_counter()
+    staged = [jax.device_put(b) for b in bufs]
+    for s in staged:
+        s.block_until_ready()
+    staging_s = time.perf_counter() - t0
+
+    # Wire rate: each execute consumes a buffer whose bytes have not
+    # crossed yet; timed per trial so the median rejects relay noise.
+    fresh = []
+    for s in staged:
+        t0 = time.perf_counter()
+        jax.block_until_ready(consume(s))
+        fresh.append(time.perf_counter() - t0)
+    fresh_ms = float(np.median(fresh) * 1e3)
+
+    # Below ~0.5 ms the difference is timer/contention noise, not a wire
+    # (the case on local backends where device_put is a memcpy).
+    wire_ms = fresh_ms - floor_ms
+    noise_floor = wire_ms < 0.5
+    return {
+        "batch_shape": list(batch_shape),
+        "batch_mb": round(nbytes / 1e6, 3),
+        "trials": trials,
+        "staging_mb_per_s": round(nbytes * trials / staging_s / 1e6, 1),
+        "resident_floor_ms": round(floor_ms, 3),
+        "fresh_consume_ms_p50": round(fresh_ms, 3),
+        "wire_ms_per_batch": None if noise_floor else round(wire_ms, 3),
+        "wire_mb_per_s": (None if noise_floor
+                          else round(nbytes / wire_ms / 1e3, 1)),
+    }
 
 
-def main() -> int:
+def main() -> None:
     from vision_assist_tpu.utils.cache import enable as enable_cache
     enable_cache()
+
+    from bench import ensure_quiet_chip
+    quiet = ensure_quiet_chip()
+
     import jax
+    device = jax.devices()[0]
 
-    import bench
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
-    from vision_assist_tpu.models.checkpoint import load_variables
-    from vision_assist_tpu.models.inference import Segmenter
-    from vision_assist_tpu.ops.yuv import bgr_to_i420_host
-    from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
-    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
+    h = w = 640
+    streams = 8
+    # The serving batch the bench actually ships: 8 streams of packed I420
+    # planes ((S, H*1.5, W) uint8, pipeline/multi_stream.py submit_frames).
+    m = measure((streams, int(h * 1.5), w))
 
-    out = {"device": str(jax.devices()[0])}
-    frames = bench.load_frames(16, (640, 640))
-    weights = REPO / "assets/weights/v8n_640_best.msgpack"
-    variables = load_variables(weights) if weights.exists() else None
+    bytes_i420 = int(h * 1.5) * w
+    bytes_bgr = h * w * 3
+    if m["wire_mb_per_s"] is not None:
+        rate = m["wire_mb_per_s"] * 1e6
+        ceiling_i420 = round(rate / bytes_i420, 1)
+        ceiling_bgr = round(rate / bytes_bgr, 1)
+    else:  # no measurable wire (local backend): no transfer-bound ceiling
+        ceiling_i420 = ceiling_bgr = None
 
-    def build(fmt):
-        cfg = PipelineConfig(frame_height=640, frame_width=640,
-                             transfer_format=fmt)
-        seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
-                        example_hw=(640, 640), grid_size=cfg.grid.grid_size)
-        fp = FrameProcessor(cfg, segmenter=seg)
-        for i in range(2):
-            fp(frames[i], now_ms=i * 33)
-        return fp
+    staged = {}
+    local = REPO / "BENCH_LOCAL.json"
+    if local.exists():
+        try:
+            staged = json.loads(local.read_text())
+        except (OSError, json.JSONDecodeError):
+            staged = {}
 
-    # 1. consumed-upload rates.
-    fp_bgr = build("bgr")
-    fds = [jax.device_put(frames[i]) for i in range(16)]
-    jax.block_until_ready(fds)
-    out["fused_resident_ms_per_frame"] = drained_rate(
-        lambda i: fp_bgr._fused(fp_bgr.segmenter.variables, fds[i % 16]))
-    out["fused_fresh_bgr_ms_per_frame"] = drained_rate(
-        lambda i: fp_bgr.submit_frame(frames[i % 16]))
-    fp_i420 = build("i420")
-    out["fused_fresh_i420_ms_per_frame"] = drained_rate(
-        lambda i: fp_i420.submit_frame(frames[i % 16]))
-
-    # 2. lone fetch stall vs async-at-submit.
-    h = fp_bgr._fused(fp_bgr.segmenter.variables, fds[0])  # no async copy
-    jax.block_until_ready(h)
-    t0 = time.perf_counter()
-    np.asarray(h)
-    out["lone_fetch_ms"] = (time.perf_counter() - t0) * 1e3
-    h = fp_bgr.submit_frame(frames[0])  # submit_frame enqueues the copy
-    jax.block_until_ready(h)
-    time.sleep(0.05)
-    t0 = time.perf_counter()
-    np.asarray(h)
-    out["fetch_after_async_copy_ms"] = (time.perf_counter() - t0) * 1e3
-
-    # 3. sync "hurry" probe: trivial blocking execute after submit.
-    trivial = jax.jit(lambda x: x + 1.0)
-    tx = jax.device_put(np.float32(0.0))
-    jax.block_until_ready(trivial(tx))
-    plain, hurried = [], []
-    for i in range(12):
-        t0 = time.perf_counter()
-        h = fp_i420.submit_frame(frames[i % 16])
-        np.asarray(h)
-        plain.append(time.perf_counter() - t0)
-    for i in range(12):
-        t0 = time.perf_counter()
-        h = fp_i420.submit_frame(frames[i % 16])
-        jax.block_until_ready(trivial(tx))  # flush piggyback?
-        np.asarray(h)
-        hurried.append(time.perf_counter() - t0)
-    out["sync_p50_ms"] = float(np.median(plain) * 1e3)
-    out["sync_hurried_p50_ms"] = float(np.median(hurried) * 1e3)
-
-    out.update(chip_quiet_status())
-    path = REPO / "diagnostics" / "wire_model.json"
+    out = {
+        "metric": "host->device wire rate and the serving FPS ceiling it sets",
+        **m,
+        "bytes_per_frame_i420": bytes_i420,
+        "bytes_per_frame_bgr": bytes_bgr,
+        "ceiling_fps_i420": ceiling_i420,
+        "ceiling_fps_bgr": ceiling_bgr,
+        "bench_fps_single": staged.get("value"),
+        "bench_fps_batched8": staged.get("batched_fps_8streams"),
+        "bench_measured_at": staged.get("measured_at"),
+        "model": ("end-to-end FPS for fresh-frame serving = "
+                  "wire_mb_per_s / bytes_per_frame; batching amortises "
+                  "dispatch only — the wire is serial with execution on "
+                  "this relay (PERFORMANCE.md round 3b/5)"),
+        "device": str(device),
+        "platform": device.platform,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **quiet,
+    }
+    if device.platform == "cpu":
+        out["note"] = ("CPU backend: no relay wire exists; numbers exercise "
+                       "the tool only and predict nothing about the chip")
+    path = (pathlib.Path(sys.argv[1]) if len(sys.argv) > 1
+            else REPO / "diagnostics" / "wire_ceiling.json")
     path.write_text(json.dumps(out, indent=1))
-    print(json.dumps(out, indent=1))
-    return 0
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
