@@ -47,6 +47,13 @@ def main() -> int:
     full_val = {k: final[k] for k in
                 ("map50_mask", "map50_95_mask", "map50_box")
                 if k in final}
+    # The trainer evals the FULL valid split only on the final epoch;
+    # mid-run evals use --eval-images. Label the row honestly so a
+    # provisional (run-interrupted) row can't masquerade as full-val.
+    is_final = final.get("epoch") == int(args.get("epochs", 0))
+    split = ("valid (full split, final-epoch eval)" if is_final else
+             f"valid (subset of {args.get('eval_images')} images — "
+             f"run interrupted at epoch {final.get('epoch')}; PROVISIONAL)")
     row = {
         "run": run,
         "arch": args.get("arch", "yolov8n-seg"),
@@ -54,8 +61,8 @@ def main() -> int:
         "epochs": len([h for h in history if not h.get("reverted")]),
         "batch": int(args.get("batch", 32)),
         "device": "cpu",
-        "full_val": full_val,
-        "final_eval_split": "valid (full split, final-epoch eval)",
+        ("full_val" if is_final else "subset_val"): full_val,
+        "final_eval_split": split,
         "note": ("relay-outage contingency study row (VERDICT r4 #8): "
                  "short-budget from-scratch run executed on the CPU "
                  "backend while the TPU relay was down; demonstrates the "
