@@ -36,19 +36,22 @@ import round3b_chain as chain  # noqa: E402  (shared stage helpers)
 #   B: instance copy-paste on top — the speculative lever, isolated so a
 #      regression cannot mask stage A's gain.
 STAGES = [
-    ("v8n_640_levers", 120,
+    # Budgets trimmed 120/60 -> 70/30 for round 5: the relay returned with
+    # ~11 h of round left and the full family (y11n 300ep + levers + study)
+    # must all land; a complete 70-epoch cosine beats a truncated 120.
+    ("v8n_640_levers", 70,
      "recipe levers A: train+test extra data (530 labelled frames) + "
-     "rotation/shear/perspective (5deg/2deg/5e-4), 120-epoch restart from "
+     "rotation/shear/perspective (5deg/2deg/5e-4), 70-epoch restart from "
      "the promoted best",
-     ["--epochs", "120", "--eval-every", "10", "--eval-images", "256",
+     ["--epochs", "70", "--eval-every", "10", "--eval-images", "256",
       "--max-rss-gb", "100", "--wire-format", "i420",
       "--degrees", "5.0", "--shear", "2.0", "--perspective", "0.0005",
       "--train-split", "train+test",
       "--resume", "assets/weights/v8n_640_best.msgpack"]),
-    ("v8n_640_leversB", 60,
-     "recipe levers B: + instance copy-paste 0.3, 60-epoch restart from "
+    ("v8n_640_leversB", 30,
+     "recipe levers B: + instance copy-paste 0.3, 30-epoch restart from "
      "the stage-A promoted best",
-     ["--epochs", "60", "--eval-every", "10", "--eval-images", "256",
+     ["--epochs", "30", "--eval-every", "10", "--eval-images", "256",
       "--max-rss-gb", "100", "--wire-format", "i420",
       "--degrees", "5.0", "--shear", "2.0", "--perspective", "0.0005",
       "--train-split", "train+test", "--copy-paste", "0.3",
@@ -91,8 +94,7 @@ def run_stage(run: str, epochs: int, note: str, args: list[str]) -> bool:
 
 
 def main() -> None:
-    os.environ.pop("JAX_PLATFORMS", None)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    chain.ensure_tpu_env()
 
     while r3b_alive():
         print("r3b chain still running; waiting...", flush=True)

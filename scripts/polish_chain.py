@@ -83,8 +83,7 @@ def main() -> None:
     # Same platform-override scrub as the r3b chain: every chip stage here
     # (supervised training, full evals, bench) must see the real TPU.
     import os
-    os.environ.pop("JAX_PLATFORMS", None)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    chain.ensure_tpu_env()
 
     while r3b_chain_alive():
         print("r3b chain still running; waiting...", flush=True)

@@ -314,44 +314,84 @@ Y11N_ARGS = ["--arch", "yolo11n-seg", "--imgsz", "256", "--epochs", "300",
              "--resume", "assets/weights/y11n_faithful_init.msgpack"]
 
 
-def main() -> None:
-    # The chain's chip stages (full_eval in-process; train_supervised.sh,
-    # diagnose_wire.py and bench.py via inherited env) need the real TPU
-    # platform. A launcher that set the CPU-side overrides (JAX_PLATFORMS=cpu
-    # / PALLAS_AXON_POOL_IPS=) would silently turn the y11n training stage
-    # and the 1059-image full evals into one-core CPU jobs — scrub them here;
-    # regen_artifacts() re-adds them explicitly for its CPU-only steps.
-    import os
-    os.environ.pop("JAX_PLATFORMS", None)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+def ensure_tpu_env() -> None:
+    """Make this process (and every subprocess it spawns) target the TPU.
 
-    # Stage 1+2: v8n restart.
-    wait_run_complete(
-        REPO / "runs/v8n_640_r2", 120,
-        lambda: launch_supervised("runs/v8n_640_r2", "v8n_640_r2_best",
-                                  V8N_ARGS, "chain_v8n_r2.log"))
-    if (REPO / "runs/v8n_640_r2/last.msgpack").exists():
-        done = any(r.get("note", "").startswith("fresh 120-epoch")
-                   for r in json.loads(RESULTS.read_text())
-                   .get("restart_runs", []))
-        if not done:
-            v8n_promoted = promote(
-                REPO / "runs/v8n_640_r2", "yolov8n-seg", 640,
-                "v8n_640_best.msgpack", "",
-                "fresh 120-epoch cosine restart from the epoch-80 best "
-                "(full LR re-warm + close_mosaic 10 — the round-2 restart "
-                "pattern that took 0.425->0.586, unlike the short parked "
-                "mid-LR extension)")
-            commit("v8n 120-epoch cosine restart: full-val eval "
-                   f"({'promoted' if v8n_promoted else 'kept prior best'})")
-        else:
-            v8n_promoted = False
+    The chain's chip stages (full_eval in-process; train_supervised.sh,
+    diagnose_wire.py and bench.py via inherited env) need the real TPU
+    platform; a launcher that set the CPU-side overrides (JAX_PLATFORMS=cpu
+    / PALLAS_AXON_POOL_IPS=) would silently turn training and the
+    1059-image full evals into one-core CPU jobs.
+
+    Plain environ.pop() is NOT enough: on the post-outage relay image the
+    TPU itself is selected by JAX_PLATFORMS=axon + PALLAS_AXON_POOL_IPS=
+    127.0.0.1 (observed 2026-08-19: popping both sent the relaunched y11n
+    trainer to CPU silently). So instead of popping, pin the known-good
+    relay values whenever the current values are CPU overrides or absent —
+    gated on PALLAS_AXON_TPU_GEN, which only the relay image sets.
+    regen_artifacts() re-adds explicit CPU overrides for its CPU-only
+    steps."""
+    import os
+
+    env = os.environ
+    if "PALLAS_AXON_TPU_GEN" not in env:
+        # Not the relay image (e.g. a CI box): popping the overrides is
+        # the best we can do.
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        return
+    if env.get("JAX_PLATFORMS", "").strip() in ("", "cpu"):
+        env["JAX_PLATFORMS"] = "axon"
+    if not env.get("PALLAS_AXON_POOL_IPS", "").strip():
+        env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+
+
+def main() -> None:
+    ensure_tpu_env()
+
+    # Stage 1+2: v8n restart. Done-check FIRST: the 120-epoch restart was
+    # already evaluated and promoted (note "120-epoch cosine restart,
+    # promoted at epoch ~115" in restart_runs) before a VM reboot wiped the
+    # uncommitted runs/v8n_640_r2 state — with the run dir empty,
+    # wait_run_complete would otherwise relaunch the full 120-epoch run
+    # from scratch and burn the round's chip budget on a stage that is
+    # finished and banked.
+    done = any(r.get("note", "").startswith(
+                   ("fresh 120-epoch", "120-epoch cosine restart"))
+               for r in json.loads(RESULTS.read_text())
+               .get("restart_runs", []))
+    if not done:
+        wait_run_complete(
+            REPO / "runs/v8n_640_r2", 120,
+            lambda: launch_supervised("runs/v8n_640_r2", "v8n_640_r2_best",
+                                      V8N_ARGS, "chain_v8n_r2.log"))
+    if not done and (REPO / "runs/v8n_640_r2/last.msgpack").exists():
+        v8n_promoted = promote(
+            REPO / "runs/v8n_640_r2", "yolov8n-seg", 640,
+            "v8n_640_best.msgpack", "",
+            "fresh 120-epoch cosine restart from the epoch-80 best "
+            "(full LR re-warm + close_mosaic 10 — the round-2 restart "
+            "pattern that took 0.425->0.586, unlike the short parked "
+            "mid-LR extension)")
+        commit("v8n 120-epoch cosine restart: full-val eval "
+               f"({'promoted' if v8n_promoted else 'kept prior best'})")
     else:
         v8n_promoted = False
 
     # Quiet-chip window between the runs: capture the wire-model diagnostic
     # (PERFORMANCE.md "Round 3b" evidence) while nothing contends the relay.
-    if not (REPO / "diagnostics/wire_model.json").exists():
+    # Gate on a CHIP-stamped wire_ceiling.json (the file the tool actually
+    # writes — the old gate checked a name that never exists, so every
+    # chain start re-ran the tool and could overwrite the chip artifact
+    # with a CPU-stamped run).
+    def _wire_done() -> bool:
+        p = REPO / "diagnostics/wire_ceiling.json"
+        try:
+            return json.loads(p.read_text()).get("platform") == "tpu"
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    if not _wire_done():
         sh(sys.executable, "tools/diagnose_wire.py", check=False)
 
     # Stage 3: y11n 300-epoch fresh schedule (skip if already promoted by a

@@ -98,8 +98,7 @@ def run_study(imgsz: int, batch: int, epochs: int, close_last: int) -> None:
 
 
 def main() -> None:
-    os.environ.pop("JAX_PLATFORMS", None)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    chain.ensure_tpu_env()
 
     while other_chain_alive():
         print("r3b/polish chain still running; waiting...", flush=True)
