@@ -321,7 +321,12 @@ def main() -> None:
     sframes = frames[:streams]
     msp.process_frames(sframes, now_ms=0)  # compile
     reps = 12
-    bdepth = 2  # batch steps in flight: overlap transfer+chip with host half
+    # Batch steps in flight. The post-outage relay costs more per dispatch
+    # and no longer overlaps as aggressively at depth 2; the round-5 park
+    # probes (diagnostics/host_breakdown.json + PERFORMANCE.md "Round 5,
+    # part 2") measured 96 FPS at depth 4 vs 63-87 at depth 2 on the same
+    # checkpoint, so the served (and benched) depth is 4.
+    bdepth = 4
     from vision_assist_tpu.pipeline.server import BatchedStreamingServer
     bsrv = BatchedStreamingServer(msp, depth=bdepth)
     t0 = time.perf_counter()
