@@ -240,6 +240,7 @@ def main() -> None:
     print("batched-8 depth-2:", json.dumps(b), flush=True)
     msp.close()
 
+    from vision_assist_tpu.utils.chipquiet import chip_quiet_status
     out = {
         "metric": "host-side per-stage breakdown of the pipelined serving "
                   "loops (cumulative in-loop timers; stages sum to wall)",
@@ -248,6 +249,7 @@ def main() -> None:
         "device": str(device),
         "platform": device.platform,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **chip_quiet_status(),
     }
     p = REPO / "diagnostics/host_breakdown.json"
     p.write_text(json.dumps(out, indent=1))
