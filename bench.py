@@ -36,7 +36,6 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).parent
-WEIGHTS = REPO / "assets" / "weights" / "v8n_640_best.msgpack"
 VAL_IMAGES = pathlib.Path("/root/reference/model/valid/images")
 
 # A staged measurement may be replayed on a relay outage only within this
@@ -251,7 +250,8 @@ def main() -> None:
     from vision_assist_tpu.utils.cache import enable as enable_cache
     enable_cache()
 
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.config import PipelineConfig
+    from vision_assist_tpu.models import flagship as flagship_mod
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
 
@@ -264,11 +264,12 @@ def main() -> None:
     # serving bottleneck, so the transfer format sets the throughput.
     cfg = PipelineConfig(frame_height=frame_h, frame_width=frame_w,
                          transfer_format="i420")
-    variables = None
-    if WEIGHTS.exists():
-        from vision_assist_tpu.models.checkpoint import load_variables
-        variables = load_variables(WEIGHTS)
-    seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
+    # Deployed model: arch/imgsz/weights come from the promoted flagship
+    # record (assets/weights/FLAGSHIP.json; v8n@640 when absent). The bench
+    # frames stay 640x640 — imgsz is the on-device letterbox target.
+    flag = flagship_mod.flagship()
+    variables = flagship_mod.load_flagship_variables()
+    seg = Segmenter(flagship_mod.model_config(), variables=variables,
                     example_hw=(frame_h, frame_w),
                     grid_size=cfg.grid.grid_size)
     fp = FrameProcessor(cfg, segmenter=seg)
@@ -349,7 +350,9 @@ def main() -> None:
         "pipeline_depth": depth,
         "batched_fps_8streams": round(batched_fps, 2),
         "frames_with_detections": f"{det_frames}/{n_lat}",
-        "weights": "trained" if WEIGHTS.exists() else "random-init",
+        "weights": (flag["asset"] if variables is not None
+                    else "random-init"),
+        "model": f"{flag['arch']}@{flag['imgsz']}",
         "engine": cfg.pathfinder.engine,
         "transfer_format": cfg.transfer_format,
         "source": "reference valid split" if VAL_IMAGES.exists()
