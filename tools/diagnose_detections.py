@@ -13,6 +13,7 @@ Writes diagnostics/serving_detections_<tag>.json.
 
 from __future__ import annotations
 
+import argparse
 import json
 import pathlib
 import sys
@@ -24,13 +25,28 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def parse_args() -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("tag", nargs="?", default="current",
+                    help="suffix for diagnostics/serving_detections_<tag>.json")
+    ap.add_argument("--weights", default=None,
+                    help="checkpoint path (default: the promoted flagship)")
+    ap.add_argument("--arch", default=None,
+                    help="model arch (default: flagship record)")
+    ap.add_argument("--imgsz", type=int, default=None,
+                    help="on-device letterbox target (default: flagship)")
+    return ap.parse_args()
+
+
 def main() -> None:
+    args = parse_args()
     from vision_assist_tpu.utils.cache import enable as enable_cache
     enable_cache()
 
     import jax
 
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.config import PipelineConfig
+    from vision_assist_tpu.models import flagship as flagship_mod
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
 
@@ -41,12 +57,19 @@ def main() -> None:
     frame_h = frame_w = 640
     cfg = PipelineConfig(frame_height=frame_h, frame_width=frame_w,
                          transfer_format="i420")
-    weights = REPO / "assets" / "weights" / "v8n_640_best.msgpack"
+    # Model selection: the promoted flagship record by default (the same
+    # checkpoint bench.py serves), overridable for pre-promotion A/B runs.
+    flag = flagship_mod.flagship()
+    weights = pathlib.Path(args.weights) if args.weights else (
+        flagship_mod.weights_path() or REPO / "assets" / "weights" / flag["asset"])
+    mcfg = flagship_mod.model_config(
+        **{k: v for k, v in (("arch", args.arch), ("imgsz", args.imgsz))
+           if v is not None})
     variables = None
     if weights.exists():
         from vision_assist_tpu.models.checkpoint import load_variables
         variables = load_variables(weights)
-    seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
+    seg = Segmenter(mcfg, variables=variables,
                     example_hw=(frame_h, frame_w),
                     grid_size=cfg.grid.grid_size)
     fp = FrameProcessor(cfg, segmenter=seg)
@@ -58,11 +81,13 @@ def main() -> None:
         res = fp(frames[i], now_ms=1000 + i * 33)
         det += int(res.n_detections > 0)
         answers.append(res.final_answer)
-    tag = sys.argv[1] if len(sys.argv) > 1 else "current"
+    tag = args.tag
     out = {
         "frames_with_detections": f"{det}/{n}",
         "weights": str(weights) if weights.exists() else "random-init",
-        "conf": ModelConfig(imgsz=640).conf_threshold,
+        "arch": mcfg.arch,
+        "imgsz": mcfg.imgsz,
+        "conf": mcfg.conf_threshold,
         "answers_nonempty": sum(1 for a in answers if a),
         "transfer_format": cfg.transfer_format,
         "device": str(device),
