@@ -208,7 +208,8 @@ def main() -> None:
 
     import jax
 
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.config import PipelineConfig
+    from vision_assist_tpu.models import flagship as flagship_mod
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
     from vision_assist_tpu.pipeline.multi_stream import MultiStreamProcessor
@@ -216,12 +217,9 @@ def main() -> None:
     device = jax.devices()[0]
     cfg = PipelineConfig(frame_height=640, frame_width=640,
                          transfer_format="i420")
-    weights = REPO / "assets/weights/v8n_640_best.msgpack"
-    variables = None
-    if weights.exists():
-        from vision_assist_tpu.models.checkpoint import load_variables
-        variables = load_variables(weights)
-    seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
+    # Same model bench.py serves: the promoted flagship record.
+    variables = flagship_mod.load_flagship_variables()
+    seg = Segmenter(flagship_mod.model_config(), variables=variables,
                     example_hw=(640, 640), grid_size=cfg.grid.grid_size)
 
     frames = load_frames(30, (640, 640))
