@@ -110,17 +110,16 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from vision_assist_tpu.config import ModelConfig
+    from vision_assist_tpu.models import flagship as flagship_mod
     from vision_assist_tpu.models.inference import Segmenter
 
     device = jax.devices()[0]
     frame_h = frame_w = 640
-    weights = REPO / "assets" / "weights" / "v8n_640_best.msgpack"
-    variables = None
-    if weights.exists():
-        from vision_assist_tpu.models.checkpoint import load_variables
-        variables = load_variables(weights)
-    seg = Segmenter(ModelConfig(imgsz=640), variables=variables,
+    # Same model every serving surface deploys: the promoted flagship.
+    flag = flagship_mod.flagship()
+    weights = REPO / "assets" / "weights" / flag["asset"]
+    variables = flagship_mod.load_flagship_variables()
+    seg = Segmenter(flagship_mod.model_config(), variables=variables,
                     example_hw=(frame_h, frame_w), grid_size=20)
 
     from bench import ensure_quiet_chip, load_frames
@@ -163,7 +162,8 @@ def main() -> None:
         "dispatch_rtt_ms": round(rtt * 1e3, 2),
         "frames_per_dispatch": K,
         "trials": TRIALS,
-        "weights": "trained" if weights.exists() else "random-init",
+        "weights": weights.name if weights.exists() else "random-init",
+        "model": f"{flag['arch']}@{flag['imgsz']}",
         "device": str(device),
         "north_star_under_15ms": bool(full and min(full) < 15.0),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
