@@ -23,7 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("video", help="process a video stream end to end")
     v.add_argument("--weights", type=str, default=None,
-                   help="msgpack checkpoint of model variables (random init if omitted)")
+                   help="msgpack checkpoint of model variables; omitted = the "
+                        "deployed flagship record (assets/weights/FLAGSHIP.json"
+                        "), matching the reference driver's default of loading "
+                        "its deployed best.pt (reference main.py:43)")
     v.add_argument("--source", type=str, required=True, help="video file path")
     v.add_argument("--output", type=str, default="results/")
     v.add_argument("--process-fps", type=int, default=8)
@@ -31,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--every-n", type=int, default=15,
                    help="process every Nth frame (reference main.py:70)")
     v.add_argument("--engine", choices=["wavefront", "exact", "exact_device"], default="exact")
-    v.add_argument("--arch", default="yolov8n-seg")
+    v.add_argument("--arch", default=None,
+                   help="model architecture; omitted = the flagship record's "
+                        "arch (explicit --arch without --weights runs that "
+                        "arch with random init)")
     v.add_argument("--verbose", action="store_true")
     v.add_argument("--debug", action="store_true",
                    help="render + save overlay frames")
@@ -60,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("image", help="process a single image file")
     i.add_argument("image", type=str)
     i.add_argument("--weights", type=str, default=None)
-    i.add_argument("--arch", default="yolov8n-seg")
+    i.add_argument("--arch", default=None)
     i.add_argument("--engine", choices=["wavefront", "exact", "exact_device"], default="exact")
     i.add_argument("--output", type=str, default="results/")
     i.add_argument("--debug", action="store_true")
@@ -114,8 +120,30 @@ def run_replay(args) -> int:
     return 0
 
 
+def _resolve_model(args):
+    """Deployed-model selection, mirroring the reference driver.
+
+    The reference driver always loads its deployed checkpoint by default
+    (reference main.py:43 loads the train11 best.pt); the equivalent here
+    is the promoted flagship record (assets/weights/FLAGSHIP.json).
+    Explicit --weights wins; explicit --arch without --weights runs that
+    arch with random init (the pre-flagship behaviour).
+    Returns (ModelConfig, variables-or-None).
+    """
+    from vision_assist_tpu.config import ModelConfig
+    from vision_assist_tpu.models import flagship as flagship_mod
+
+    if args.weights:
+        from vision_assist_tpu.models.checkpoint import load_variables
+        return (ModelConfig(arch=args.arch or "yolov8n-seg"),
+                load_variables(args.weights))
+    if args.arch:
+        return ModelConfig(arch=args.arch), None
+    return flagship_mod.model_config(), flagship_mod.load_flagship_variables()
+
+
 def run_video(args) -> int:
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.config import PipelineConfig
     from vision_assist_tpu.io.mock_camera import MockCamera
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
@@ -134,11 +162,7 @@ def run_video(args) -> int:
         transfer = "bgr"
     cfg = cfg.replace(transfer_format=transfer)
 
-    mcfg = ModelConfig(arch=args.arch)
-    variables = None
-    if args.weights:
-        from vision_assist_tpu.models.checkpoint import load_variables
-        variables = load_variables(args.weights)
+    mcfg, variables = _resolve_model(args)
     seg = Segmenter(mcfg, variables=variables,
                     example_hw=(cam.frame_height, cam.frame_width),
                     grid_size=cfg.grid.grid_size)
@@ -283,7 +307,7 @@ def _run_video_pipelined(args, cam, fp, cues, out_dir) -> int:
 def run_image(args) -> int:
     import cv2
 
-    from vision_assist_tpu.config import ModelConfig, PipelineConfig
+    from vision_assist_tpu.config import PipelineConfig
     from vision_assist_tpu.models.inference import Segmenter
     from vision_assist_tpu.pipeline.frame_processor import FrameProcessor
 
@@ -296,11 +320,8 @@ def run_image(args) -> int:
     cfg = cfg.replace(pathfinder=cfg.pathfinder.__class__(engine=args.engine))
     frame = frame[:cfg.frame_height, :cfg.frame_width]
 
-    variables = None
-    if args.weights:
-        from vision_assist_tpu.models.checkpoint import load_variables
-        variables = load_variables(args.weights)
-    seg = Segmenter(ModelConfig(arch=args.arch), variables=variables,
+    mcfg, variables = _resolve_model(args)
+    seg = Segmenter(mcfg, variables=variables,
                     example_hw=(cfg.frame_height, cfg.frame_width))
     fp = FrameProcessor(cfg, segmenter=seg, debug=args.debug)
     res = fp(frame)
