@@ -195,10 +195,15 @@ def test_diagnostics_artifacts_carry_chip_quiet():
     files = sorted(d.glob("*.json"))
     assert files, "diagnostics artifacts missing"
     # CPU-only ANALYSIS artifacts (no chip in the loop) are exempt; every
-    # chip measurement must declare contention state.
+    # chip measurement must declare contention state. An artifact is
+    # CPU-only if it says so (device/platform "cpu") or is in the known
+    # pure-analysis set (no device field at all).
     cpu_analysis = {"k_history_sweep.json"}
     for f in files:
         if f.name in cpu_analysis:
             continue
         j = json.loads(f.read_text())
+        if "cpu" in (str(j.get("device", "")).lower(),
+                     str(j.get("platform", "")).lower()):
+            continue
         assert "chip_quiet" in j, f.name
